@@ -1,0 +1,27 @@
+'''Test configuration: force an 8-device virtual CPU mesh before jax import.
+
+This is the fake-backend substitute for multi-chip TPU (SURVEY.md §4): sharding
+and collective behavior is validated on 8 host devices; numerical kernels run
+in XLA:CPU (Pallas kernels use interpret mode on CPU).
+'''
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope='session')
+def devices():
+    return jax.devices()
+
+
+@pytest.fixture()
+def key():
+    return jax.random.PRNGKey(0)
