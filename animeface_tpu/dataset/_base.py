@@ -1,0 +1,318 @@
+'''Dataset base classes.
+
+API parity with reference `dataset/_base.py` (`make_default_transform` :18,
+`WrappedDataset.asloader` :46, task-shaped bases Image :59 / ImageImage :79 /
+LRHR :102 / ImageXDoG :146 / ImageLabel :173 / ImageOnehot :212), TPU-adapted:
+  * batches are numpy float32 NHWC in [-1, 1] (ready for jnp.asarray / bf16 cast)
+  * the loader is a lightweight threaded decode pipeline (no torch DataLoader
+    workers); `asloader` keeps its signature
+  * `shard_count`/`shard_index` on the loader implement per-host sharding (the
+    role of the reference's dormant InfiniteSampler, stylegan2_ops/misc.py:106)
+  * the data root is configurable (reference hard-codes /usr/src/data)
+'''
+
+from __future__ import annotations
+
+import os
+import random as _random
+import threading
+import queue as _queue
+from collections.abc import Callable
+
+import numpy as np
+from PIL import Image as pilImage, ImageFile
+from sklearn.preprocessing import LabelEncoder, OneHotEncoder
+
+ImageFile.LOAD_TRUNCATED_IMAGES = True
+
+DATA_ROOT = os.environ.get('ANIMEFACE_DATA_ROOT', '/usr/src/data')
+
+
+def set_data_root(root: str) -> None:
+    global DATA_ROOT
+    DATA_ROOT = root
+
+
+def data_path(*parts) -> str:
+    return os.path.join(DATA_ROOT, *parts)
+
+
+# ---------------- transforms (PIL -> numpy HWC float32) ----------------
+
+def _resize(img: pilImage.Image, size: int) -> pilImage.Image:
+    '''torchvision T.Resize semantics: `size` is the SHORTER edge.'''
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, max(1, round(h * size / w))
+    else:
+        nw, nh = max(1, round(w * size / h)), size
+    return img.resize((nw, nh), pilImage.BILINEAR)
+
+
+def _center_crop(img: pilImage.Image, size: int) -> pilImage.Image:
+    w, h = img.size
+    left = (w - size) // 2
+    top = (h - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def _to_array(img: pilImage.Image, normalize: bool = True) -> np.ndarray:
+    a = np.asarray(img, dtype=np.float32) / 255.0
+    if a.ndim == 2:
+        a = a[..., None]
+    if normalize:
+        a = a * 2.0 - 1.0
+    return a
+
+
+def make_default_transform(image_size: int, resize_scale: float = 1.,
+                           hflip: bool = True, normalize: bool = True) -> Callable:
+    '''Resize(shorter=size*scale) -> CenterCrop -> [RandomHFlip] -> [-1,1] HWC.'''
+
+    def transform(img: pilImage.Image) -> np.ndarray:
+        img = _resize(img, int(image_size * resize_scale))
+        img = _center_crop(img, image_size)
+        a = _to_array(img, normalize)
+        if hflip and _random.random() > 0.5:
+            a = a[:, ::-1].copy()
+        return a
+
+    return transform
+
+
+# ---------------- loader ----------------
+
+def _default_collate(samples):
+    if isinstance(samples[0], (tuple, list)):
+        return tuple(_default_collate([s[i] for s in samples])
+                     for i in range(len(samples[0])))
+    return np.stack(samples, axis=0)
+
+
+class DataLoader:
+    '''Minimal epoch-based loader yielding numpy NHWC batches.
+
+    Iterates the dataset in shuffled order, decoding samples on `num_workers`
+    threads with a bounded prefetch queue. `shard_count`/`shard_index`
+    partition each epoch's permutation across hosts (same seed everywhere ->
+    disjoint shards, InfiniteSampler semantics).
+    '''
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int | None = None,
+                 seed: int = 0, shard_count: int = 1, shard_index: int = 0,
+                 prefetch: int = 4):
+        assert batch_size >= 1
+        assert 0 <= shard_index < shard_count
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers if num_workers is not None
+                               else (os.cpu_count() or 1))
+        self.seed = seed
+        self.shard_count = shard_count
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.shard_count
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        return idx[self.shard_index::self.shard_count]
+
+    def __iter__(self):
+        idx = self._epoch_indices()
+        self._epoch += 1
+        nb = len(idx) // self.batch_size if self.drop_last else \
+            (len(idx) + self.batch_size - 1) // self.batch_size
+
+        if self.num_workers <= 1:
+            for b in range(nb):
+                chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                yield _default_collate([self.dataset[int(i)] for i in chunk])
+            return
+
+        out_q: _queue.Queue = _queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        break
+                    chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    out_q.put(_default_collate(
+                        [self.dataset[int(i)] for i in chunk]))
+                out_q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                out_q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+class WrappedDataset:
+    '''Base dataset with the reference's `asloader` factory (dataset/_base.py:46).'''
+
+    def _load(self):
+        raise NotImplementedError()
+
+    def __len__(self) -> int:
+        raise NotImplementedError()
+
+    @classmethod
+    def asloader(cls, batch_size: int, cls_args: tuple = (), cls_kwargs: dict = {},
+                 shuffle: bool = True, num_workers: int | None = None,
+                 pin_memory: bool = False, **loader_kwargs) -> DataLoader:
+        # pin_memory accepted for API parity; meaningless for TPU transfers
+        dataset = cls(*cls_args, **cls_kwargs)
+        return DataLoader(dataset, batch_size, shuffle=shuffle, drop_last=True,
+                          num_workers=num_workers, **loader_kwargs)
+
+
+class Image(WrappedDataset):
+    '''Single-image datasets.'''
+
+    def __init__(self, transform: Callable) -> None:
+        self.images = self._load()
+        self.transform = transform
+
+    def __getitem__(self, index) -> np.ndarray:
+        image = pilImage.open(self.images[index]).convert('RGB')
+        return self.transform(image)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+class ImageImage(WrappedDataset):
+    '''Two-domain datasets for unpaired I2I.'''
+
+    def __init__(self, transform: Callable) -> None:
+        self.images1, self.images2 = self._load()
+        self.transform = transform
+
+    def __getitem__(self, index):
+        image1 = pilImage.open(self.images1[index]).convert('RGB')
+        image2 = pilImage.open(self.images2[index]).convert('RGB')
+        return self.transform(image1), self.transform(image2)
+
+    def __len__(self) -> int:
+        return len(self.images1)
+
+
+class LRHR(WrappedDataset):
+    '''Paired low-res / high-res dataset for SR (shared random hflip).'''
+
+    def __init__(self, image_size: int, scale: float = 2.,
+                 resize_scale: float = 1.) -> None:
+        self.images = self._load()
+        self.image_size = image_size
+        self.resize_scale = resize_scale
+        self.scale = scale
+
+    def __getitem__(self, index):
+        image = pilImage.open(self.images[index]).convert('RGB')
+        return self.transform(image)
+
+    def transform(self, img):
+        return self._default_transform(img)
+
+    def _default_transform(self, img):
+        lr_size = int(self.image_size // self.scale)
+        sr = _center_crop(_resize(img, int(self.image_size * self.resize_scale)),
+                          self.image_size)
+        lr = _center_crop(_resize(img, int(lr_size * self.resize_scale)), lr_size)
+        sr = _to_array(sr)
+        lr = _to_array(lr)
+        if _random.random() > 0.5:
+            sr = sr[:, ::-1].copy()
+            lr = lr[:, ::-1].copy()
+        return lr, sr
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+class ImageXDoG(WrappedDataset):
+    '''Image + XDoG line-art pairs (sketch colorization).'''
+
+    def __init__(self, transform: Callable) -> None:
+        self.images, self.xdogs = self._load()
+        self.transform = transform
+
+    def __getitem__(self, index):
+        image = pilImage.open(self.images[index]).convert('RGB')
+        xdog = pilImage.open(self.xdogs[index]).convert('L')
+        return self.transform(image), self.transform(xdog)
+
+    def shuffle_xdog(self) -> None:
+        _random.shuffle(self.xdogs)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+class ImageLabel(WrappedDataset):
+    '''Image + integer label (sklearn LabelEncoder).'''
+
+    def __init__(self, transform: Callable) -> None:
+        self.images, labels = self._load()
+        self.transform = transform
+        self._make_label(labels)
+
+    def _make_label(self, labels) -> None:
+        self.encoder = LabelEncoder()
+        labels = np.array(labels).reshape(-1)
+        self.labels = self.encoder.fit_transform(labels)
+        self.num_classes = len(self.encoder.classes_)
+
+    def __getitem__(self, index):
+        image = pilImage.open(self.images[index]).convert('RGB')
+        return self.transform(image), np.int32(self.labels[index])
+
+    def inverse_transform(self, label):
+        label = np.asarray(label).reshape(-1)
+        return self.encoder.inverse_transform(label)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+class ImageOnehot(ImageLabel):
+    '''Image + one-hot label (sklearn OneHotEncoder).'''
+
+    def _make_label(self, labels) -> None:
+        self.encoder = OneHotEncoder()
+        labels = np.array(labels).reshape(-1, 1)
+        self.labels = self.encoder.fit_transform(labels).toarray().astype(np.float32)
+        self.num_classes = len(self.encoder.categories_[0])
+
+    def __getitem__(self, index):
+        image = pilImage.open(self.images[index]).convert('RGB')
+        return self.transform(image), self.labels[index]
+
+    def inverse_transform(self, label):
+        label = np.asarray(label).reshape(1, -1)
+        return self.encoder.inverse_transform(label)

@@ -1,0 +1,92 @@
+'''Device mesh and sharding helpers.
+
+TPU-native replacement for the reference's single-device placement
+(`nnutils/accelerate.py` explicitly documents "NOT implemented: ... TPU,
+Multi-device", :5-16). Data parallelism over ICI is expressed as a
+`jax.sharding.Mesh` with a leading 'data' axis; params live replicated, the
+batch axis is sharded, and XLA inserts the psum gradient reductions
+(replacing DDP/NCCL allreduce, SURVEY.md §2.5).
+
+An optional trailing 'model' axis is reserved for sharding the widest layers
+of >512px models; all shipped configs run pure DP.
+'''
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def make_mesh(shape=(-1,), axis_names=None, devices=None) -> Mesh:
+    '''Build a Mesh; a single -1 entry absorbs the remaining device count.'''
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(shape)
+    if axis_names is None:
+        axis_names = (DATA_AXIS, MODEL_AXIS)[:len(shape)] or (DATA_AXIS,)
+    n = len(devices)
+    neg = [i for i, s in enumerate(shape) if s == -1]
+    assert len(neg) <= 1, 'at most one -1 in mesh shape'
+    if neg:
+        known = int(np.prod([s for s in shape if s != -1])) if len(shape) > 1 else 1
+        assert n % known == 0, f'{n} devices not divisible by {known}'
+        shape[neg[0]] = n // known
+    assert int(np.prod(shape)) == n, f'mesh {shape} != {n} devices'
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    '''Shard the leading (batch) axis over the data axis.'''
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    '''Host array(s) -> device array(s) sharded on the batch axis.'''
+    def put(x):
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    '''Place a pytree replicated across the mesh.'''
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(partial(jax.device_put, device=sh), tree)
+
+
+def prefetch_to_device(iterator: Iterable, mesh: Mesh, size: int = 2):
+    '''Overlap host->device transfer with compute: keep `size` sharded batches
+    in flight (replacement for DataLoader pin_memory + non-blocking copies).'''
+    import collections
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        while True:
+            while len(buf) < size:
+                buf.append(shard_batch(next(it), mesh))
+            yield buf.popleft()
+    except StopIteration:
+        while buf:
+            yield buf.popleft()
+
+
+def check_replica_consistency(tree, mesh: Mesh, atol: float = 0.0) -> bool:
+    '''Assert replicated params are bit-identical across devices — the intent
+    of the reference's dormant `check_ddp_consistency`
+    (thirdparty/stylegan2_ops/misc.py:175).'''
+    for leaf in jax.tree_util.tree_leaves(tree):
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            if not np.allclose(shards[0], s, atol=atol):
+                return False
+    return True

@@ -7,12 +7,18 @@ in XLA:CPU (Pallas kernels use interpret mode on CPU).
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# jax_platforms at interpreter start; reclaim CPU before backends initialize.
+jax.config.update('jax_platforms', 'cpu')
+assert jax.devices()[0].platform == 'cpu', jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
 
 import pytest  # noqa: E402
 

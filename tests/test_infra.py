@@ -1,0 +1,126 @@
+'''Infrastructure tests: mesh/sharding, Accelerator, checkpointing —
+on the 8-device virtual CPU mesh (the multi-chip stand-in).'''
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from animeface_tpu.parallel import (
+    make_mesh, data_sharding, shard_batch, replicate, prefetch_to_device,
+    check_replica_consistency,
+)
+from animeface_tpu.nnutils.accelerate import Accelerator, MiniAccelerator
+from animeface_tpu.checkpoint import Checkpointer, save_model, load_model
+
+
+def test_make_mesh_all_devices():
+    mesh = make_mesh((-1,))
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.axis_names == ('data',)
+
+
+def test_make_mesh_2d():
+    mesh = make_mesh((-1, 2))
+    assert mesh.axis_names == ('data', 'model')
+    assert mesh.devices.shape == (len(jax.devices()) // 2, 2)
+
+
+def test_make_mesh_invalid():
+    with pytest.raises(AssertionError):
+        make_mesh((3,))  # 8 devices not divisible
+
+
+def test_shard_batch_and_replicate():
+    mesh = make_mesh((-1,))
+    batch = np.ones((16, 4, 4, 3), np.float32)
+    sharded = shard_batch(batch, mesh)
+    assert sharded.sharding.spec == data_sharding(mesh).spec
+    assert len(sharded.addressable_shards) == 8
+    assert sharded.addressable_shards[0].data.shape == (2, 4, 4, 3)
+
+    params = {'w': jnp.ones((3, 3))}
+    rep = replicate(params, mesh)
+    assert check_replica_consistency(rep, mesh)
+
+
+def test_prefetch_to_device():
+    mesh = make_mesh((-1,))
+    batches = [np.full((8, 2), i, np.float32) for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    assert float(out[3][0, 0]) == 3.0
+
+
+def test_accelerator_data_parallel_training():
+    '''A jitted SGD step over the 8-device mesh must match single-device math:
+    the gradient psum across shards is inserted by XLA.'''
+    accel = Accelerator(mesh_shape=(-1,), bf16=False)
+    assert accel.num_devices == 8
+
+    w0 = jnp.zeros((4,))
+    x = np.tile(np.arange(4, dtype=np.float32), (16, 1))
+    y = np.full((16,), 10.0, np.float32)
+
+    def step(w, batch):
+        bx, by = batch
+        def loss(w):
+            return jnp.mean((bx @ w - by) ** 2)
+        l, g = jax.value_and_grad(loss)(w)
+        return w - 0.01 * g, l
+
+    jstep = accel.jit_step(step, donate_state=False)
+    w = accel.prepare(w0)
+    batch = accel.shard_batch((x, y))
+    w1, l1 = jstep(w, batch)
+
+    # single-device reference
+    w1_ref, l1_ref = step(w0, (jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w1_ref), rtol=1e-6)
+    np.testing.assert_allclose(float(l1), float(l1_ref), rtol=1e-6)
+
+
+def test_accelerator_cast():
+    accel = Accelerator(bf16=True)
+    out = accel.cast({'a': jnp.ones((2,), jnp.float32), 'i': jnp.ones((2,), jnp.int32)})
+    assert out['a'].dtype == jnp.bfloat16
+    assert out['i'].dtype == jnp.int32
+    assert MiniAccelerator is Accelerator
+
+
+def test_accelerator_backward_raises():
+    with pytest.raises(RuntimeError):
+        Accelerator().backward(jnp.float32(0))
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    ck = Checkpointer(str(tmp_path), max_to_keep=2)
+    state = {'params': {'w': jnp.arange(6.0).reshape(2, 3)},
+             'opt': optax.adam(1e-3).init({'w': jnp.zeros((2, 3))}),
+             'step': jnp.int32(7)}
+    ck.save(7, state, meta={'loss': {'G': [1.0]}, 'batches_done': 7})
+    ck.save(14, state)
+    ck.save(21, state)
+    assert ck.all_steps() == [14, 21]   # max_to_keep=2 GC'd step 7
+    assert ck.latest_step() == 21
+
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored, meta = ck.restore(template)
+    np.testing.assert_allclose(np.asarray(restored['params']['w']),
+                               np.asarray(state['params']['w']))
+    assert int(restored['step']) == 7  # saved value
+
+
+def test_checkpointer_empty_raises(tmp_path):
+    ck = Checkpointer(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        ck.restore({})
+
+
+def test_save_load_model(tmp_path):
+    params = {'k': jnp.ones((3, 3)) * 2}
+    p = str(tmp_path / 'g_ema.msgpack')
+    save_model(p, params)
+    out = load_model(p, {'k': jnp.zeros((3, 3))})
+    np.testing.assert_allclose(np.asarray(out['k']), 2.0)
