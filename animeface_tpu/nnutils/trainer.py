@@ -1,0 +1,94 @@
+'''Shared host-side training loop.
+
+The reference deliberately has no Trainer class — each of the 47 recipes writes
+its own loop over shared primitives (SURVEY.md §1). Here the *device* step stays
+recipe-specific (a jitted `(state, batch) -> (state, metrics)` closure), but the
+host choreography — Status updates, sample-grid + weights cadence, full-state
+checkpoint/resume, loss plot — is identical everywhere, so it lives here once.
+
+Deviation from the reference for TPU throughput: `running.jpg` is written at
+the save cadence, not every step (a per-step D2H + PNG encode would serialize
+the device pipeline).
+'''
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import numpy as np
+
+from animeface_tpu.checkpoint import Checkpointer, save_model
+from animeface_tpu.utils import Status, save_image
+from animeface_tpu.utils.argument import result_dir
+
+
+def default_max_iters(args, loader) -> int:
+    '''reference: max_iters < 0 -> epochs * len(loader).'''
+    if args.max_iters is not None and args.max_iters >= 0:
+        return args.max_iters
+    return len(loader) * args.default_epochs
+
+
+def run_training(
+    name: str,
+    args,
+    accel,
+    state,
+    loader,
+    train_step: Callable,          # jitted (state, batch) -> (state, {metrics})
+    sample_fn: Callable | None,    # (state) -> NHWC images for the const grid
+    max_iters: int,
+    save_interval: int,
+    ema_params_path: Callable | None = None,  # state -> params-for-artifact
+    status: Status | None = None,
+    checkpoint_keep: int = 3,
+    nrow: int = 4,
+    on_step_end: Callable | None = None,      # (state, status) -> state hook
+):
+    out_dir = result_dir(name)
+    if status is None:
+        status = Status(max_iters, bar=not getattr(args, 'log_file', None),
+                        log_file=getattr(args, 'log_file', None),
+                        log_interval=getattr(args, 'log_interval', 1))
+    ckpt = Checkpointer(os.path.join(out_dir, 'checkpoint'),
+                        max_to_keep=checkpoint_keep)
+
+    # ---- resume ----
+    resume_dir = getattr(args, 'resume', None)
+    if resume_dir:
+        rck = Checkpointer(resume_dir)
+        state, meta = rck.restore(state)
+        if meta.get('status'):
+            status.load_state_dict(meta['status'])
+        status.print(f'[resume] from {resume_dir} @ step {status.batches_done}')
+    state = accel.prepare(state)
+
+    def save_snapshot(state):
+        step = status.batches_done
+        if sample_fn is not None:
+            images = np.asarray(sample_fn(state))
+            save_image(images, os.path.join(out_dir, f'{step}.png'), nrow=nrow)
+            save_image(images, os.path.join(out_dir, 'running.jpg'), nrow=nrow)
+        if ema_params_path is not None:
+            save_model(os.path.join(out_dir, f'G_{step}.msgpack'),
+                       ema_params_path(state))
+        ckpt.save(step, state, meta={'status': status.state_dict(),
+                                     'args': {k: str(v) for k, v in vars(args).items()}})
+
+    # ---- loop ----
+    done = False
+    while not done:
+        for batch in accel.iter_loader(loader):
+            state, metrics = train_step(state, batch)
+            if status.batches_done % save_interval == 0 and status.batches_done > 0:
+                save_snapshot(state)
+            status.update(**{k: v for k, v in metrics.items()})
+            if status.batches_done >= max_iters:
+                done = True
+                break
+
+    save_snapshot(state)
+    status.plot_loss(os.path.join(out_dir, 'loss'))
+    return state, status

@@ -1,0 +1,73 @@
+'''End-to-end smoke tests: N steps of each implementation via the CLI contract
+(`main(parser)`) on synthetic data, asserting finite losses + produced
+artifacts. Mirrors the reference's smoke-by-running strategy (SURVEY.md §4)
+but automated.
+'''
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from animeface_tpu.utils import argument
+
+
+def run_impl(name, tmp_path, extra_args=(), iters=4, image_size=32, batch=8):
+    '''Invoke implementations.<name>.main(parser) exactly like main.py does.'''
+    from importlib import import_module
+    argv = ['main.py', name,
+            '--synthetic-data', '--num-images', '64',
+            '--image-size', str(image_size), '--batch-size', str(batch),
+            '--max-iters', str(iters), '--save', str(max(iters // 2, 1)),
+            '--no-bf16',  # f32 on CPU test backend
+            *extra_args]
+    old_argv, old_impl_dir = sys.argv, argument.IMPLEMENTATIONS_DIR
+    argument.IMPLEMENTATIONS_DIR = str(tmp_path)
+    sys.argv = argv
+    try:
+        parser = argument.get_default_parser()
+        module = import_module(f'animeface_tpu.implementations.{name}')
+        module.main(parser)
+    finally:
+        sys.argv = old_argv
+        argument.IMPLEMENTATIONS_DIR = old_impl_dir
+    return os.path.join(str(tmp_path), name, 'result')
+
+
+def check_artifacts(result_dir, iters=4, expect_samples=True):
+    files = os.listdir(result_dir)
+    assert any(f.startswith('args-') for f in files), files
+    assert 'loss.png' in files, files
+    if expect_samples:
+        assert f'{iters}.png' in files, files
+    assert 'checkpoint' in files, files
+    # losses recorded in the checkpoint meta must be finite
+    ckpts = os.listdir(os.path.join(result_dir, 'checkpoint'))
+    latest = sorted(ckpts, key=lambda n: int(n.split('-')[1]))[-1]
+    with open(os.path.join(result_dir, 'checkpoint', latest, 'meta.json')) as f:
+        meta = json.load(f)
+    for key, values in (meta['status']['loss'] or {}).items():
+        assert all(np.isfinite(v) for v in values), (key, values)
+
+
+@pytest.mark.slow
+def test_gan_end_to_end(tmp_path):
+    out = run_impl('GAN', tmp_path)
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_dcgan_end_to_end(tmp_path):
+    out = run_impl('DCGAN', tmp_path)
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_gan_resume(tmp_path):
+    out = run_impl('GAN', tmp_path, iters=4)
+    ckpt_dir = os.path.join(out, 'checkpoint')
+    out2 = run_impl('GAN', tmp_path, iters=6,
+                    extra_args=('--resume', ckpt_dir))
+    check_artifacts(out2, iters=6)
