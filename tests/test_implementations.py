@@ -71,3 +71,29 @@ def test_gan_resume(tmp_path):
     out2 = run_impl('GAN', tmp_path, iters=6,
                     extra_args=('--resume', ckpt_dir))
     check_artifacts(out2, iters=6)
+
+
+@pytest.mark.slow
+def test_wgan_end_to_end(tmp_path):
+    out = run_impl('WGAN', tmp_path, iters=6,
+                   extra_args=('--n-critic', '3'))
+    check_artifacts(out, iters=6)
+
+
+@pytest.mark.slow
+def test_wgan_gp_end_to_end(tmp_path):
+    out = run_impl('WGAN_gp', tmp_path, iters=4,
+                   extra_args=('--n-critic', '2'))
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_cgan_end_to_end(tmp_path):
+    out = run_impl('cGAN', tmp_path)
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_acgan_end_to_end(tmp_path):
+    out = run_impl('ACGAN', tmp_path)
+    check_artifacts(out)
