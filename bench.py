@@ -1,0 +1,90 @@
+'''Benchmark: StyleGAN2 256px training throughput on the local accelerator.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+The baseline is the BASELINE.json north-star: StyleGAN2-ADA 256px on one
+A100 — estimated at ~430 images/sec/chip from NVIDIA's published
+stylegan2-ada sec/kimg tables (the reference repo publishes no numbers,
+BASELINE.md).
+'''
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+A100_IMAGES_PER_SEC = 430.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from animeface_tpu.utils import EasyDict
+    from animeface_tpu.nnutils.accelerate import Accelerator
+    from animeface_tpu.nnutils import KeyGen
+    from animeface_tpu.nnutils.loss import NonSaturatingLoss
+    from animeface_tpu.implementations.StyleGAN2.utils import (
+        build_models, build_train_step, make_optimizers,
+    )
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    image_size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+
+    args = EasyDict(
+        image_size=image_size, image_channels=3, style_dim=512, channels=32,
+        max_channels=512, block_num_conv=2, map_num_layers=8, map_lr=0.01,
+        disable_map_norm=False, mbsd_groups=4, lr=1e-3, beta1=0.0, beta2=0.99,
+        g_k=8, d_k=16, r1_lambda=10.0, pl_lambda=2.0,
+        policy='color,translation', mesh=[-1], no_bf16=False, seed=0,
+    )
+    accel = Accelerator(mesh_shape=(-1,), bf16=True)
+    keys = KeyGen(0)
+
+    G, D = build_models(args, accel.compute_dtype)
+    z0 = jnp.zeros((1, args.style_dim))
+    g_vars = G.init({'params': keys(), 'noise': keys(), 'mixing': keys()}, z0)
+    d_vars = D.init(keys(), jnp.zeros((1, image_size, image_size, 3)))
+
+    g_tx, d_tx = make_optimizers(args)
+    state = dict(
+        rng=keys(), G=g_vars['params'], D=d_vars['params'],
+        G_ema=jax.tree_util.tree_map(jnp.copy, g_vars['params']),
+        g_opt=g_tx.init(g_vars['params']), d_opt=d_tx.init(d_vars['params']),
+        pl_mean=jnp.float32(0.0), step=jnp.int32(0),
+    )
+    loss = NonSaturatingLoss()
+    adv_step = accel.jit_step(build_train_step(
+        G, D, g_tx, d_tx, loss, args.policy, args.r1_lambda, args.pl_lambda,
+        args.d_k, args.g_k, 0.999, do_r1=False, do_pl=False))
+
+    state = accel.prepare(state)
+    batch = accel.shard_batch(
+        jax.random.normal(keys(), (batch_size, image_size, image_size, 3)))
+
+    # warmup / compile; float() forces a real D2H fetch — on the axon
+    # platform block_until_ready returns before execution completes, so
+    # synchronization must go through a concrete value.
+    state, m = adv_step(state, batch)
+    float(m['D'])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = adv_step(state, batch)
+    float(m['D'])   # waits for the whole donation chain
+    dt = time.perf_counter() - t0
+
+    n_chips = accel.num_devices
+    imgs_per_sec_per_chip = batch_size * steps / dt / n_chips
+    print(json.dumps({
+        'metric': f'StyleGAN2 {image_size}px train images/sec/chip '
+                  f'(batch {batch_size}, adversarial step, DiffAugment on-device)',
+        'value': round(imgs_per_sec_per_chip, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(imgs_per_sec_per_chip / A100_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -97,3 +97,24 @@ def test_cgan_end_to_end(tmp_path):
 def test_acgan_end_to_end(tmp_path):
     out = run_impl('ACGAN', tmp_path)
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_stylegan2_end_to_end(tmp_path):
+    # 17+ iters so both lazy-regularization branches (d_k=16, g_k=8) compile+run
+    out = run_impl('StyleGAN2', tmp_path, iters=18, image_size=32, batch=8,
+                   extra_args=('--pl-lambda', '2.0', '--d-k', '16',
+                               '--g-k', '8', '--channels', '8',
+                               '--max-channels', '64', '--style-dim', '32',
+                               '--map-num-layers', '2'))
+    check_artifacts(out, iters=18)
+
+
+@pytest.mark.slow
+def test_fastgan_end_to_end(tmp_path):
+    # image_size 64: D init_down_size/decoder sizes are clamped to fit
+    out = run_impl('FastGAN', tmp_path, iters=4, image_size=64, batch=8,
+                   extra_args=('--g-channels', '8', '--g-max-channels', '32',
+                               '--d-channels', '8', '--d-max-channels', '32',
+                               '--latent-dim', '32', '--ema'))
+    check_artifacts(out)
