@@ -118,3 +118,27 @@ def test_fastgan_end_to_end(tmp_path):
                                '--d-channels', '8', '--d-max-channels', '32',
                                '--latent-dim', '32', '--ema'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_ae_end_to_end(tmp_path):
+    out = run_impl('AE', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--channels', '8', '--enc-dim', '16'))
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_vae_end_to_end(tmp_path):
+    out = run_impl('VAE', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--channels', '8', '--max-channels', '32',
+                               '--z-dim', '16'))
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_ddpm_end_to_end(tmp_path):
+    out = run_impl('DDPM', tmp_path, iters=4, image_size=16, batch=8,
+                   extra_args=('--channels', '8', '--bottom', '4',
+                               '--timesteps', '20', '--attn-resls', '8',
+                               '--num-test', '4'))
+    check_artifacts(out)
