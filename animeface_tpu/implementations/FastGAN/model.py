@@ -255,7 +255,6 @@ class Discriminator(nn.Module):
             part_key = self.make_rng('part')
         qid = jax.random.randint(part_key, (), 0, 4)
         part_feat = _quadrant(feats[16], qid)
-        half = org.shape[1] // 2
         img_part = _quadrant(org, qid)
         img_part = jax.image.resize(
             img_part, (N, self.decoder_image_size, self.decoder_image_size,
