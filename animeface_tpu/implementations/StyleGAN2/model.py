@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from animeface_tpu.ops import setup_filter, filter2d
+from animeface_tpu.ops import upfirdn2d as upfirdn2d_op
 
 
 def _kernel_init(lr_mul: float = 1.0):
@@ -130,6 +131,15 @@ class InjectNoise(nn.Module):
 
 _BLUR_KERNEL = [[1., 2., 1.], [2., 4., 2.], [1., 2., 1.]]
 
+# bilinear-up2 zero-insert kernel and its composition with the 3x3 blur:
+# both stages are LTI after zero-insertion, so upsample+blur collapse into ONE
+# 6-tap separable FIR pass — one full-resolution materialization instead of
+# three (resize gather, blur, and their backward twins). Interior-exact vs the
+# reference composition (verified in tests); only a <=2px border ring differs
+# (edge-clamp vs zero-pad).
+_BILINEAR_TAPS = np.asarray([1., 3., 3., 1.]) / 4.0
+_UPBLUR_TAPS = np.convolve(_BILINEAR_TAPS, np.asarray([1., 2., 1.]) / 4.0)
+
 
 class Blur2d(nn.Module):
     '''3x3 binomial blur (reference Blur2d :133) via the ops FIR path.'''
@@ -145,20 +155,40 @@ def upsample2x_bilinear(x):
     return jax.image.resize(x, (N, H * 2, W * 2, C), method='bilinear')
 
 
+def upsample2x_fused(x):
+    '''Single-pass bilinear up2 as upfirdn (interior-exact vs jax resize).'''
+    f = jnp.asarray(np.outer(_BILINEAR_TAPS, _BILINEAR_TAPS), jnp.float32)
+    return upfirdn2d_op(x, f, up=2, padding=[2, 1, 2, 1])
+
+
+def upblur2x_fused(x):
+    '''Fused bilinear-up2 + 3x3 blur as one upfirdn pass.'''
+    f = jnp.asarray(np.outer(_UPBLUR_TAPS, _UPBLUR_TAPS), jnp.float32)
+    return upfirdn2d_op(x, f, up=2, padding=[3, 2, 3, 2])
+
+
 def downsample2x_avg(x):
     return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
 class StyleBlock(nn.Module):
-    '''upsample -> blur -> [modconv -> noise -> lrelu] x num_conv (:154).'''
+    '''upsample -> blur -> [modconv -> noise -> lrelu] x num_conv (:154).
+
+    `fused_resample` collapses the upsample+blur pair into one FIR pass
+    (HBM-bandwidth win; set False for exact border parity with the reference).
+    '''
     features: int
     num_conv: int = 2
+    fused_resample: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, w_style):
-        x = upsample2x_bilinear(x)
-        x = Blur2d()(x)
+        if self.fused_resample:
+            x = upblur2x_fused(x)
+        else:
+            x = upsample2x_bilinear(x)
+            x = Blur2d()(x)
         for i in range(self.num_conv):
             x = ModulatedConv(self.features, 3, dtype=self.dtype)(x, w_style)
             x = InjectNoise()(x)
@@ -170,6 +200,7 @@ class ToImage(nn.Module):
     '''1x1 mod-conv (no demod) to RGB with skip accumulation (:239).'''
     image_channels: int = 3
     upsample: bool = True
+    fused_resample: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -179,7 +210,8 @@ class ToImage(nn.Module):
         if pre is not None:
             x = x + pre
         if self.upsample:
-            x = upsample2x_bilinear(x)
+            x = (upsample2x_fused(x) if self.fused_resample
+                 else upsample2x_bilinear(x))
         return x
 
 

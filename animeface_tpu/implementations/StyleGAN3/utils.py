@@ -1,0 +1,203 @@
+'''StyleGAN3 training recipe (reference `implementations/StyleGAN3/utils.py`):
+non-saturating loss + ADDITIVE R1 every gp_every iters (unlike StyleGAN2's
+replace-loss lazy regularization), DiffAugment on real+fake, G phase reuses
+the same augmented fake against the updated D, per-step EMA with buffer copy.
+Two compiled step variants (with/without R1) selected host-side.
+'''
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from animeface_tpu.implementations.StyleGAN3.model import Generator, Discriminator
+from animeface_tpu.utils import add_args, save_args
+from animeface_tpu.nnutils import KeyGen, sample_nnoise, update_ema
+from animeface_tpu.nnutils.accelerate import Accelerator
+from animeface_tpu.nnutils.loss import NonSaturatingLoss, r1_regularizer
+from animeface_tpu.nnutils.diffaugment import diff_augment
+from animeface_tpu.nnutils.trainer import run_training, default_max_iters
+from animeface_tpu.dataset import build_loader
+
+
+def build_train_step(G, D, g_tx, d_tx, loss, policy, gp_lambda, do_r1,
+                     ema_decay=0.999, augment_fn=None, ada_enabled=False):
+    '''One full iteration. `augment_fn(key, x, state) -> x_aug` lets the ADA
+    recipe plug the AugmentPipe in; default is DiffAugment with the policy.'''
+
+    if augment_fn is None:
+        def augment_fn(key, x, state):
+            return diff_augment(key, x, policy)
+
+    def train_step(state, real):
+        rng, zkey, ar, af, nkey = jax.random.split(state['rng'], 5)
+        B = real.shape[0]
+        z = sample_nnoise(zkey, (B, G.latent_dim))
+
+        fake, g_mut = G.apply(
+            {'params': state['G'], 'moments': state['G_moments']}, z,
+            train=True, mutable=['moments'])
+        fake_sg = jax.lax.stop_gradient(fake)
+        real_aug = augment_fn(ar, real, state)
+        fake_aug = augment_fn(af, fake_sg, state)
+
+        def d_loss_fn(d_params):
+            real_prob = D.apply({'params': d_params}, real_aug)
+            fake_prob = D.apply({'params': d_params}, fake_aug)
+            adv = loss.d_loss(real_prob, fake_prob)
+            if do_r1:
+                d_apply = lambda img: D.apply({'params': d_params}, img)
+                adv = adv + r1_regularizer(real, d_apply) * gp_lambda
+            return adv, real_prob
+
+        (d_loss, real_prob), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state['D'])
+        d_up, d_opt = d_tx.update(d_grads, state['d_opt'], state['D'])
+        d_params = optax.apply_updates(state['D'], d_up)
+
+        def g_loss_fn(g_params):
+            fake2, _ = G.apply(
+                {'params': g_params, 'moments': state['G_moments']}, z,
+                train=True, mutable=['moments'])
+            fake2_aug = augment_fn(af, fake2, state)   # same key: same aug
+            fake_prob = D.apply({'params': d_params}, fake2_aug)
+            return loss.g_loss(fake_prob)
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state['G'])
+        g_up, g_opt = g_tx.update(g_grads, state['g_opt'], state['G'])
+        g_params = optax.apply_updates(state['G'], g_up)
+
+        new_state = dict(
+            state, rng=rng, G=g_params, D=d_params,
+            G_moments=g_mut['moments'],
+            G_ema=update_ema(g_params, state['G_ema'], ema_decay),
+            g_opt=g_opt, d_opt=d_opt, step=state['step'] + 1,
+        )
+        if ada_enabled:
+            from animeface_tpu.nnutils.ada import ada_update_p
+            new_state['ada'] = ada_update_p(state['ada'], real_prob)
+        metrics = dict(g=jnp.nan_to_num(g_loss), d=jnp.nan_to_num(d_loss))
+        if ada_enabled:
+            metrics['p'] = new_state['ada']['p']
+        return new_state, metrics
+
+    return train_step
+
+
+def build_models(args, compute_dtype):
+    G = Generator(
+        image_size=args.image_size, latent_dim=args.latent_dim,
+        num_layers=args.num_layers, map_num_layers=args.map_num_layers,
+        channels=args.channels, max_channels=args.max_channels,
+        style_dim=args.style_dim, pixel_norm=not args.no_pixel_norm,
+        image_channels=args.image_channels, dtype=compute_dtype)
+    D = Discriminator(
+        image_size=args.image_size, in_channels=args.image_channels,
+        channels=args.d_channels, max_channels=args.d_max_channels,
+        mbsd_group_size=args.mbsd_group_size,
+        mbsd_channels=args.mbsd_channels, bottom=args.bottom,
+        dtype=compute_dtype)
+    return G, D
+
+
+def init_state(args, G, D, g_tx, d_tx, keys):
+    g_vars = G.init({'params': keys()}, jnp.zeros((1, args.latent_dim)))
+    d_vars = D.init(keys(), jnp.zeros((2, args.image_size, args.image_size,
+                                       args.image_channels)))
+    return dict(
+        rng=keys(), G=g_vars['params'], D=d_vars['params'],
+        G_moments=g_vars['moments'],
+        G_ema=jax.tree_util.tree_map(jnp.copy, g_vars['params']),
+        g_opt=g_tx.init(g_vars['params']), d_opt=d_tx.init(d_vars['params']),
+        step=jnp.int32(0),
+    ), g_vars
+
+
+def make_optimizers(args):
+    '''G: mapping params at lr*map_lr_scale via optax multi_transform.'''
+    betas = tuple(args.betas)
+
+    def g_label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: 'map' if str(path[0].key) == 'map' else 'syn',
+            params)
+
+    g_tx = optax.multi_transform(
+        {'syn': optax.adam(args.lr, b1=betas[0], b2=betas[1]),
+         'map': optax.adam(args.lr * args.map_lr_scale, b1=betas[0],
+                           b2=betas[1])},
+        g_label_fn)
+    d_tx = optax.adam(args.lr, b1=betas[0], b2=betas[1])
+    return g_tx, d_tx
+
+
+def train(args, max_iters, loader, name='StyleGAN3'):
+    accel = Accelerator(mesh_shape=tuple(args.mesh), bf16=not args.no_bf16)
+    keys = KeyGen(args.seed)
+
+    G, D = build_models(args, accel.compute_dtype)
+    g_tx, d_tx = make_optimizers(args)
+    state, g_vars = init_state(args, G, D, g_tx, d_tx, keys)
+
+    loss = NonSaturatingLoss()
+    jit_plain = accel.jit_step(build_train_step(
+        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, do_r1=False))
+    jit_r1 = accel.jit_step(build_train_step(
+        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, do_r1=True))
+    counter = {'i': 0}
+
+    def train_step(state, batch):
+        i = counter['i']
+        counter['i'] += 1
+        if args.gp_lambda > 0 and i % args.gp_every == 0:
+            return jit_r1(state, batch)
+        return jit_plain(state, batch)
+
+    const_z = sample_nnoise(keys(), (16, args.latent_dim))
+
+    @jax.jit
+    def sample_fn(state):
+        return G.apply({'params': state['G_ema'],
+                        'moments': state['G_moments']}, const_z)
+
+    return run_training(
+        name=name, args=args, accel=accel, state=state, loader=loader,
+        train_step=train_step, sample_fn=sample_fn,
+        max_iters=max_iters, save_interval=args.save,
+        ema_params_path=lambda s: {'params': s['G_ema'],
+                                   'moments': s['G_moments']},
+    )
+
+
+STYLEGAN3_ARGS = dict(
+    image_channels=[3, 'number of image channels'],
+    latent_dim=[512, 'latent dimension'],
+    style_dim=[512, 'style dimension'],
+    num_layers=[14, 'number of layers in G'],
+    map_num_layers=[2, 'number of layers in mapping network'],
+    channels=[32, 'channel base'],
+    max_channels=[512, 'maximum channel width'],
+    no_pixel_norm=[False, 'disable pixel norm on z'],
+    d_channels=[32, 'channel base for D'],
+    d_max_channels=[512, 'maximum channels in D'],
+    mbsd_group_size=[4, 'minibatch stddev group size'],
+    mbsd_channels=[1, 'minibatch stddev channels'],
+    bottom=[4, 'D bottom resolution'],
+    lr=[0.0025, 'learning rate'],
+    map_lr_scale=[0.01, 'lr scale for the mapping network'],
+    betas=[[0., 0.99], 'betas'],
+    gp_lambda=[3., 'lambda for r1'],
+    gp_every=[16, 'R1 every N iters'],
+    policy=['color,translation', 'policy for DiffAugment'],
+)
+
+
+def main(parser):
+    parser = add_args(parser, STYLEGAN3_ARGS)
+    args = parser.parse_args()
+    save_args(args)
+
+    loader = build_loader(args, 'image')
+    max_iters = default_max_iters(args, loader)
+    train(args, max_iters, loader)

@@ -1,0 +1,143 @@
+'''VGG perceptual losses (reference `nnutils/loss/vgg.py`: VGG :15,
+gram_matrix :63, VGGLoss :69 with style/content/vgg_loss methods).
+
+Flax NHWC VGG16/19 feature trunk cut into the same 5 relu slices. Pretrained
+weights load from a torchvision-format state-dict file (torch is used only as
+a deserializer) pointed to by $ANIMEFACE_VGG_WEIGHTS or the `weights_path`
+argument — this image has no torchvision and no egress, so when absent the
+trunk falls back to a FIXED-SEED He init with a warning (random VGG features
+are a known-usable perceptual metric; swap in real weights for paper parity).
+Losses always run in float32 (the reference forces autocast off for the
+style path, vgg.py:141).
+'''
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from animeface_tpu.nnutils.loss._base import Loss
+
+# conv layout per block: VGG16 [2,2,3,3,3], VGG19 [2,2,4,4,4]
+_CFG = {16: (2, 2, 3, 3, 3), 19: (2, 2, 4, 4, 4)}
+_CHANNELS = (64, 128, 256, 512, 512)
+
+# ImageNet normalization (torchvision), applied to [0,1] inputs
+_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+class VGGFeatures(nn.Module):
+    '''Feature trunk returning the 5 post-relu block activations.'''
+    layers: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for block, (n_convs, ch) in enumerate(zip(_CFG[self.layers], _CHANNELS)):
+            for i in range(n_convs):
+                x = nn.Conv(ch, (3, 3), padding=1, name=f'conv{block}_{i}')(x)
+                x = jax.nn.relu(x)
+            feats.append(x)
+            if block < 4:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return tuple(feats)
+
+
+def _load_torch_weights(path: str, layers: int):
+    '''torchvision vgg state dict (features.N.weight OIHW) -> flax params.'''
+    import torch
+    sd = torch.load(path, map_location='cpu', weights_only=True)
+    # torchvision feature indices of conv layers, in order
+    params = {}
+    conv_idx = [k for k in sd if k.startswith('features') and k.endswith('.weight')
+                and sd[k].ndim == 4]
+    conv_idx.sort(key=lambda k: int(k.split('.')[1]))
+    it = iter(conv_idx)
+    for block, n_convs in enumerate(_CFG[layers]):
+        for i in range(n_convs):
+            wk = next(it)
+            bk = wk.replace('.weight', '.bias')
+            w = jnp.asarray(np.transpose(sd[wk].numpy(), (2, 3, 1, 0)))  # HWIO
+            b = jnp.asarray(sd[bk].numpy())
+            params[f'conv{block}_{i}'] = {'kernel': w, 'bias': b}
+    return {'params': params}
+
+
+def gram_matrix(x):
+    '''[B,H,W,C] -> [B,C,C] / (C*H*W) (reference gram_matrix :63).'''
+    B, H, W, C = x.shape
+    feat = x.reshape(B, H * W, C)
+    return jnp.einsum('bnc,bnd->bcd', feat, feat) / (C * H * W)
+
+
+class VGGLoss(Loss):
+    '''style_loss / content_loss / vgg_loss on frozen VGG features (ref :69).'''
+
+    def __init__(self, device=None, vgg: int = 16, p: int = 2,
+                 normalized: bool = True, return_all: bool = False,
+                 weights_path: Optional[str] = None) -> None:
+        super().__init__(return_all)
+        assert p in (1, 2)
+        assert vgg in (16, 19)
+        self.p = p
+        self.normalized = normalized
+        self.model = VGGFeatures(vgg)
+
+        weights_path = weights_path or os.environ.get('ANIMEFACE_VGG_WEIGHTS')
+        if weights_path and os.path.exists(weights_path):
+            self.variables = _load_torch_weights(weights_path, vgg)
+        else:
+            warnings.warn(
+                'no pretrained VGG weights found (set ANIMEFACE_VGG_WEIGHTS); '
+                'using fixed-seed random features')
+            self.variables = self.model.init(
+                jax.random.PRNGKey(20260816), jnp.zeros((1, 32, 32, 3)))
+        # frozen: gradients never flow into the trunk
+        self.variables = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                                self.variables)
+
+    def _features(self, x):
+        # x in [-1,1] (normalized=True semantics) -> [0,1] -> imagenet norm
+        x = x.astype(jnp.float32)
+        if self.normalized:
+            x = x * 0.5 + 0.5
+        x = (x - _MEAN) / _STD
+        return self.model.apply(self.variables, x)
+
+    def loss_fn(self, x, y, p: Optional[int] = None):
+        p_ = p if p is not None else self.p
+        if p_ == 1:
+            return jnp.mean(jnp.abs(x - y))
+        return jnp.mean((x - y) ** 2)
+
+    def style_loss(self, real, fake, block_indices: Sequence[int] = (0, 1, 2, 3),
+                   p: Optional[int] = None):
+        real_acts = self._features(real)
+        fake_acts = self._features(fake)
+        loss = 0.0
+        for i in block_indices:
+            loss = loss + self.loss_fn(gram_matrix(fake_acts[i]),
+                                       gram_matrix(real_acts[i]), p)
+        return loss
+
+    def content_loss(self, real, fake, block_index: int = 2,
+                     p: Optional[int] = None):
+        real_acts = self._features(real)
+        fake_acts = self._features(fake)
+        return self.loss_fn(fake_acts[block_index], real_acts[block_index], p)
+
+    def vgg_loss(self, real, fake, block_indices: Sequence[int] = (0, 1, 2, 3, 4),
+                 p: Optional[int] = None):
+        real_acts = self._features(real)
+        fake_acts = self._features(fake)
+        loss = 0.0
+        for i in block_indices:
+            loss = loss + self.loss_fn(real_acts[i], fake_acts[i], p)
+        return loss

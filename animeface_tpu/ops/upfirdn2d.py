@@ -98,23 +98,28 @@ def _depthwise_fir(x, f2d, up, down, padding, gain):
     upH = H * upy + pady0 + pady1
     assert upW >= fw and upH >= fh, 'upsampled buffer smaller than the filter'
 
-    kernel = (f2d * gain).astype(jnp.float32)
+    # Precision follows the input dtype: float32 callers (tests/oracles, ADA
+    # geometry) get exact f32 FIR accumulation; bf16 training paths keep the
+    # fast MXU/VPU route instead of being silently promoted to f32.
+    if x.dtype == jnp.bfloat16:
+        compute_dtype, precision = jnp.bfloat16, jax.lax.Precision.DEFAULT
+    else:
+        compute_dtype, precision = jnp.float32, jax.lax.Precision.HIGHEST
+    kernel = (f2d * gain).astype(compute_dtype)
     kernel = jnp.broadcast_to(kernel[:, :, None, None], (fh, fw, 1, C))
 
     # lhs_dilation only inserts zeros BETWEEN samples (size H*up - (up-1));
     # the reference zero-inserts AFTER each sample (size H*up). The missing
     # up-1 trailing zeros are folded into the high-side conv padding.
     out = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32), kernel,
+        x.astype(compute_dtype), kernel,
         window_strides=(downy, downx),
         padding=((pady0, pady1 + upy - 1), (padx0, padx1 + upx - 1)),
         lhs_dilation=(upy, upx),
         rhs_dilation=(1, 1),
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         feature_group_count=C,
-        # FIR taps are tiny; keep true f32 accumulation (default precision
-        # would round through bf16 on TPU and drift vs the reference).
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return out.astype(x.dtype)
 

@@ -19,6 +19,11 @@ A100_IMAGES_PER_SEC = 430.0
 def main():
     import jax
     import jax.numpy as jnp
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/tmp/animeface_jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
 
     from animeface_tpu.utils import EasyDict
     from animeface_tpu.nnutils.accelerate import Accelerator

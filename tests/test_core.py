@@ -198,3 +198,37 @@ def test_make_image_grid():
 
 def test_count_params():
     assert count_params({'a': jnp.zeros((2, 3)), 'b': jnp.zeros((5,))}) == 11
+
+
+def test_vgg_loss(key):
+    import warnings
+    from animeface_tpu.nnutils.loss.vgg import VGGLoss, gram_matrix
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        vl = VGGLoss(vgg=16, p=2)
+    a = jax.random.normal(key, (2, 32, 32, 3)) * 0.5
+    b = a + 0.1
+    s = float(vl.style_loss(a, b))
+    c = float(vl.content_loss(a, b))
+    v = float(vl.vgg_loss(a, b, p=1))
+    assert all(np.isfinite([s, c, v])) and all(x >= 0 for x in (s, c, v))
+    assert float(vl.vgg_loss(a, a)) == 0.0
+    g = gram_matrix(jnp.ones((1, 4, 4, 8)))
+    assert g.shape == (1, 8, 8)
+    # gradients flow into inputs but trunk is frozen
+    grad = jax.grad(lambda x: vl.content_loss(a, x))(b)
+    assert float(jnp.abs(grad).sum()) > 0
+
+
+def test_checkio(capsys):
+    from animeface_tpu.nnutils.debug import checkio
+    logs = []
+    checkio.print_func = staticmethod(logs.append)
+
+    @checkio()
+    def f(x):
+        return x * 2
+
+    f(jnp.ones((2, 3)))
+    assert len(logs) == 2
+    assert '(2, 3)' in logs[0]

@@ -142,3 +142,57 @@ def test_ddpm_end_to_end(tmp_path):
                                '--timesteps', '20', '--attn-resls', '8',
                                '--num-test', '4'))
     check_artifacts(out)
+
+
+def _sg3_args(image_size=32):
+    return ('--num-layers', '4', '--channels', '8', '--max-channels', '32',
+            '--style-dim', '32', '--latent-dim', '32', '--d-channels', '8',
+            '--d-max-channels', '32', '--gp-every', '2')
+
+
+@pytest.mark.slow
+def test_stylegan3_end_to_end(tmp_path):
+    out = run_impl('StyleGAN3', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=_sg3_args())
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_ada_end_to_end(tmp_path):
+    out = run_impl('ADA', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=_sg3_args() + ('--ada-interval', '2',
+                                             '--ada-target-kimg', '1'))
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_apa_end_to_end(tmp_path):
+    out = run_impl('APA', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=_sg3_args() + ('--apa-interval', '2',
+                                             '--apa-target-kimg', '1'))
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_srgan_end_to_end(tmp_path):
+    out = run_impl('SRGAN', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--g-channels', '8', '--d-channels', '8',
+                               '--num-blocks', '2', '--num-layers', '2',
+                               '--num-test', '2'))
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_esrgan_end_to_end(tmp_path):
+    out = run_impl('ESRGAN', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--g-channels', '8', '--d-channels', '8',
+                               '--hid-channels', '4', '--num-rrdb', '2',
+                               '--num-layers', '2', '--num-test', '2'))
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_pix2pix_end_to_end(tmp_path):
+    out = run_impl('pix2pix', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--num-test', '2',))
+    check_artifacts(out)

@@ -117,3 +117,21 @@ def test_path_length_penalty_differentiable(key):
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
     total = sum(float(jnp.abs(x).sum()) for x in flat)
     assert total > 0
+
+
+def test_fused_resample_matches_composition(key):
+    '''upblur2x_fused / upsample2x_fused are interior-exact vs the reference
+    upsample->blur composition (borders differ <=2px, edge-clamp vs zero-pad).'''
+    from animeface_tpu.implementations.StyleGAN2.model import (
+        upblur2x_fused, upsample2x_fused, upsample2x_bilinear, Blur2d,
+    )
+    x = jax.random.normal(key, (2, 8, 8, 4))
+    ref = Blur2d().apply({}, upsample2x_bilinear(x))
+    got = upblur2x_fused(x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got[:, 3:-3, 3:-3]),
+                               np.asarray(ref[:, 3:-3, 3:-3]), atol=1e-5)
+    ref2 = upsample2x_bilinear(x)
+    got2 = upsample2x_fused(x)
+    np.testing.assert_allclose(np.asarray(got2[:, 2:-2, 2:-2]),
+                               np.asarray(ref2[:, 2:-2, 2:-2]), atol=1e-5)
