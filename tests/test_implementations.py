@@ -196,3 +196,12 @@ def test_pix2pix_end_to_end(tmp_path):
     out = run_impl('pix2pix', tmp_path, iters=4, image_size=32, batch=8,
                    extra_args=('--num-test', '2',))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_cyclegan_end_to_end(tmp_path):
+    out = run_impl('CycleGAN', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--g-channels', '8', '--g-max-channels', '16',
+                               '--d-channels', '8', '--num-blocks', '2',
+                               '--num-test', '2'))
+    check_artifacts(out)
