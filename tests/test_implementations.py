@@ -205,3 +205,10 @@ def test_cyclegan_end_to_end(tmp_path):
                                '--d-channels', '8', '--num-blocks', '2',
                                '--num-test', '2'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_biggan_end_to_end(tmp_path):
+    out = run_impl('BigGAN', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--channels', '8', '--z-dim', '16'))
+    check_artifacts(out)
