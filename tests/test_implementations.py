@@ -212,3 +212,13 @@ def test_biggan_end_to_end(tmp_path):
     out = run_impl('BigGAN', tmp_path, iters=4, image_size=32, batch=8,
                    extra_args=('--channels', '8', '--z-dim', '16'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_pggan_end_to_end(tmp_path):
+    # image_size 8 -> one growth cycle: 4px stab then 8px trans/stab phases
+    out = run_impl('PGGAN', tmp_path, iters=0, image_size=8, batch=8,
+                   extra_args=('--latent-dim', '16',))
+    files = os.listdir(out)
+    assert 'final.png' in files and 'G_final.msgpack' in files
+    assert 'loss.png' in files
