@@ -33,19 +33,29 @@ def rand_contrast(key, x):
 
 
 def rand_translation(key, x, ratio: float = 0.125):
+    '''Per-sample integer translation with zero fill.
+
+    TPU note: expressed as a vmapped dynamic_slice over a zero-padded image —
+    a contiguous block copy — instead of the reference's pointwise index
+    gather (DiffAugment.py:39-52), which lowered to a scatter/gather pair
+    costing as much as a full D forward at 256px. out[n, i, j] = x[n, i+th,
+    j+tw] (zeros out of range), matching the reference exactly.
+    '''
     N, H, W, C = x.shape
     shift_h = int(H * ratio + 0.5)
     shift_w = int(W * ratio + 0.5)
     kh, kw = jax.random.split(key)
     th = jax.random.randint(kh, (N, 1, 1), -shift_h, shift_h + 1)
     tw = jax.random.randint(kw, (N, 1, 1), -shift_w, shift_w + 1)
-    gh = jax.lax.broadcasted_iota(jnp.int32, (N, H, W), 1)
-    gw = jax.lax.broadcasted_iota(jnp.int32, (N, H, W), 2)
-    gh = jnp.clip(gh + th + 1, 0, H + 1)
-    gw = jnp.clip(gw + tw + 1, 0, W + 1)
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    batch = jnp.arange(N)[:, None, None]
-    return x_pad[batch, gh, gw]
+    x_pad = jnp.pad(x, ((0, 0), (shift_h, shift_h), (shift_w, shift_w),
+                        (0, 0)))
+
+    def slice_one(img, oh, ow):
+        return jax.lax.dynamic_slice(img, (oh, ow, 0), (H, W, C))
+
+    oh = (shift_h + th[:, 0, 0]).astype(jnp.int32)
+    ow = (shift_w + tw[:, 0, 0]).astype(jnp.int32)
+    return jax.vmap(slice_one)(x_pad, oh, ow)
 
 
 def rand_cutout(key, x, ratio: float = 0.5):

@@ -232,3 +232,39 @@ def test_checkio(capsys):
     f(jnp.ones((2, 3)))
     assert len(logs) == 2
     assert '(2, 3)' in logs[0]
+
+
+def test_rand_translation_matches_gather_reference(key):
+    '''dynamic-slice formulation == pointwise-gather reference semantics.'''
+    from animeface_tpu.nnutils.diffaugment import rand_translation
+    x = jax.random.normal(key, (4, 16, 16, 3))
+    got = rand_translation(key, x)
+
+    # reference gather formulation (the torch DiffAugment port)
+    N, H, W, C = x.shape
+    sh = sw = int(16 * 0.125 + 0.5)
+    kh, kw = jax.random.split(key)
+    th = jax.random.randint(kh, (N, 1, 1), -sh, sh + 1)
+    tw = jax.random.randint(kw, (N, 1, 1), -sw, sw + 1)
+    gh = jax.lax.broadcasted_iota(jnp.int32, (N, H, W), 1)
+    gw = jax.lax.broadcasted_iota(jnp.int32, (N, H, W), 2)
+    gh = jnp.clip(gh + th + 1, 0, H + 1)
+    gw = jnp.clip(gw + tw + 1, 0, W + 1)
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    want = x_pad[jnp.arange(N)[:, None, None], gh, gw]
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_diffaugment_policies(key):
+    from animeface_tpu.nnutils.diffaugment import diff_augment
+    x = jax.random.normal(key, (4, 16, 16, 3))
+    assert diff_augment(key, x, '').shape == x.shape
+    for policy in ('color', 'translation', 'cutout', 'color,translation,cutout'):
+        out = diff_augment(key, x, policy)
+        assert out.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+        assert not np.allclose(np.asarray(out), np.asarray(x))
+    # differentiable
+    g = jax.grad(lambda x: jnp.sum(diff_augment(key, x, 'color,translation,cutout') ** 2))(x)
+    assert bool(jnp.all(jnp.isfinite(g)))
