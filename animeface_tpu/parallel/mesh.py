@@ -37,8 +37,9 @@ def make_mesh(shape=(-1,), axis_names=None, devices=None) -> Mesh:
         known = int(np.prod([s for s in shape if s != -1])) if len(shape) > 1 else 1
         assert n % known == 0, f'{n} devices not divisible by {known}'
         shape[neg[0]] = n // known
-    assert int(np.prod(shape)) == n, f'mesh {shape} != {n} devices'
-    dev_array = np.asarray(devices).reshape(shape)
+    want = int(np.prod(shape))
+    assert want <= n, f'mesh {shape} needs {want} devices, have {n}'
+    dev_array = np.asarray(devices[:want]).reshape(shape)
     return Mesh(dev_array, tuple(axis_names))
 
 

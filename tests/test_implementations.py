@@ -222,3 +222,18 @@ def test_pggan_end_to_end(tmp_path):
     files = os.listdir(out)
     assert 'final.png' in files and 'G_final.msgpack' in files
     assert 'loss.png' in files
+
+
+@pytest.mark.slow
+def test_fourierfeatures_end_to_end(tmp_path):
+    out = run_impl('FourierFeatures', tmp_path, iters=8, image_size=16,
+                   extra_args=('--map-size', '32',))
+    files = os.listdir(out)
+    assert 'model.msgpack' in files and 'loss.png' in files
+
+
+@pytest.mark.slow
+def test_pixelshuffle_end_to_end(tmp_path):
+    out = run_impl('pixelshuffle', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--latent-dim', '16',))
+    check_artifacts(out)

@@ -27,9 +27,10 @@ def test_make_mesh_2d():
     assert mesh.devices.shape == (len(jax.devices()) // 2, 2)
 
 
-def test_make_mesh_invalid():
+def test_make_mesh_subset_and_invalid():
+    assert make_mesh((3,)).devices.size == 3   # explicit subset of 8 devices
     with pytest.raises(AssertionError):
-        make_mesh((3,))  # 8 devices not divisible
+        make_mesh((16,))                        # more than available
 
 
 def test_shard_batch_and_replicate():
