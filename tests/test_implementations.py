@@ -237,3 +237,12 @@ def test_pixelshuffle_end_to_end(tmp_path):
     out = run_impl('pixelshuffle', tmp_path, iters=4, image_size=32, batch=8,
                    extra_args=('--latent-dim', '16',))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_eigengan_end_to_end(tmp_path):
+    out = run_impl('EigenGAN', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--eps-dim', '32', '--latent-dim', '4',
+                               '--g-channels', '8', '--d-channels', '8',
+                               '--max-channels', '32', '--gp-every', '2'))
+    check_artifacts(out)
