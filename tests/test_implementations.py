@@ -246,3 +246,33 @@ def test_eigengan_end_to_end(tmp_path):
                                '--g-channels', '8', '--d-channels', '8',
                                '--max-channels', '32', '--gp-every', '2'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_transgan_end_to_end(tmp_path):
+    out = run_impl('TransGAN', tmp_path, iters=4, image_size=16, batch=8,
+                   extra_args=('--latent-dim', '16', '--embed-dim', '64',
+                               '--g-depths', '1', '1', '--bottom-width', '8',
+                               '--d-depth', '1', '--patch-size', '4',
+                               '--gp-every', '2'))
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_convnext_end_to_end(tmp_path):
+    out = run_impl('ConvNeXt', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--latent-dim', '16', '--channels', '8',
+                               '--blocks-per-scale', '1',
+                               '--d-depths', '1', '1', '1', '1',
+                               '--d-dims', '8', '16', '32', '64',
+                               '--gp-every', '2'))
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_van_end_to_end(tmp_path):
+    out = run_impl('VAN', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--latent-dim', '16', '--channels', '8',
+                               '--blocks-per-scale', '1', '--d-channels', '8',
+                               '--gp-every', '2'))
+    check_artifacts(out)
