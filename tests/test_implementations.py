@@ -276,3 +276,23 @@ def test_van_end_to_end(tmp_path):
                                '--blocks-per-scale', '1', '--d-channels', '8',
                                '--gp-every', '2'))
     check_artifacts(out)
+
+
+def _sg2_small():
+    return ('--channels', '8', '--max-channels', '32', '--style-dim', '32',
+            '--map-num-layers', '2')
+
+
+@pytest.mark.slow
+def test_adabelief_end_to_end(tmp_path):
+    out = run_impl('AdaBelief', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=_sg2_small() + ('--d-k', '2',))
+    check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_edge_end_to_end(tmp_path):
+    out = run_impl('edge', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=_sg2_small() + ('--d-k', '2',
+                                              '--edge-loss-from', '3'))
+    check_artifacts(out)
