@@ -1,0 +1,142 @@
+'''CIPS recipe (reference `implementations/CIPS/utils.py`): non-saturating +
+lazy R1, DiffAugment, EMA; generator carries a w_avg moments collection.'''
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from animeface_tpu.implementations.CIPS.model import Generator, Discriminator
+from animeface_tpu.utils import add_args, save_args
+from animeface_tpu.nnutils import KeyGen, sample_nnoise, update_ema
+from animeface_tpu.nnutils.accelerate import Accelerator
+from animeface_tpu.nnutils.loss import NonSaturatingLoss, r1_regularizer
+from animeface_tpu.nnutils.diffaugment import diff_augment
+from animeface_tpu.nnutils.trainer import run_training, default_max_iters
+from animeface_tpu.dataset import build_loader
+
+
+def build_train_step(G, D, g_tx, d_tx, loss, policy, gp_lambda, do_r1,
+                     ema_decay=0.999):
+    def train_step(state, real):
+        rng, zkey, ar, af = jax.random.split(state['rng'], 4)
+        B = real.shape[0]
+        z = sample_nnoise(zkey, (B, G.latent_dim))
+
+        fake, g_mut = G.apply(
+            {'params': state['G'], 'moments': state['G_moments']}, z,
+            train=True, mutable=['moments'])
+        fake_sg = jax.lax.stop_gradient(fake)
+        real_aug = diff_augment(ar, real, policy)
+        fake_aug = diff_augment(af, fake_sg, policy)
+
+        def d_loss_fn(d_params):
+            adv = loss.d_loss(D.apply({'params': d_params}, real_aug),
+                              D.apply({'params': d_params}, fake_aug))
+            if do_r1:
+                d_apply = lambda img: D.apply({'params': d_params}, img)
+                adv = adv + r1_regularizer(real, d_apply) * gp_lambda
+            return adv
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state['D'])
+        d_up, d_opt = d_tx.update(d_grads, state['d_opt'], state['D'])
+        d_params = optax.apply_updates(state['D'], d_up)
+
+        def g_loss_fn(g_params):
+            fake2, _ = G.apply(
+                {'params': g_params, 'moments': state['G_moments']}, z,
+                train=True, mutable=['moments'])
+            fake_prob = D.apply({'params': d_params},
+                                diff_augment(af, fake2, policy))
+            return loss.g_loss(fake_prob)
+
+        g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state['G'])
+        g_up, g_opt = g_tx.update(g_grads, state['g_opt'], state['G'])
+        g_params = optax.apply_updates(state['G'], g_up)
+
+        return dict(rng=rng, G=g_params, D=d_params,
+                    G_moments=g_mut['moments'],
+                    G_ema=update_ema(g_params, state['G_ema'], ema_decay),
+                    g_opt=g_opt, d_opt=d_opt, step=state['step'] + 1), \
+            dict(g=jnp.nan_to_num(g_loss), d=jnp.nan_to_num(d_loss))
+
+    return train_step
+
+
+def train(args, max_iters, loader):
+    accel = Accelerator(mesh_shape=tuple(args.mesh), bf16=not args.no_bf16)
+    keys = KeyGen(args.seed)
+
+    G = Generator(image_size=args.image_size, latent_dim=args.latent_dim,
+                  style_dim=args.style_dim, num_layers=args.num_layers,
+                  channels=args.channels, max_channels=args.max_channels,
+                  map_num_layers=args.map_num_layers,
+                  dtype=accel.compute_dtype)
+    D = Discriminator(image_size=args.image_size, channels=args.d_channels,
+                      max_channels=args.d_max_channels,
+                      dtype=accel.compute_dtype)
+
+    g_vars = G.init(keys(), jnp.zeros((1, args.latent_dim)))
+    d_vars = D.init(keys(), jnp.zeros((2, args.image_size, args.image_size, 3)))
+
+    g_tx = optax.adam(args.lr, b1=args.betas[0], b2=args.betas[1])
+    d_tx = optax.adam(args.lr, b1=args.betas[0], b2=args.betas[1])
+    state = dict(rng=keys(), G=g_vars['params'], D=d_vars['params'],
+                 G_moments=g_vars['moments'],
+                 G_ema=jax.tree_util.tree_map(jnp.copy, g_vars['params']),
+                 g_opt=g_tx.init(g_vars['params']),
+                 d_opt=d_tx.init(d_vars['params']), step=jnp.int32(0))
+
+    loss = NonSaturatingLoss()
+    jit_plain = accel.jit_step(build_train_step(
+        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, False))
+    jit_r1 = accel.jit_step(build_train_step(
+        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, True))
+    counter = {'i': 0}
+
+    def train_step(state, batch):
+        i = counter['i']
+        counter['i'] += 1
+        if args.gp_lambda > 0 and i % args.gp_every == 0:
+            return jit_r1(state, batch)
+        return jit_plain(state, batch)
+
+    const_z = sample_nnoise(keys(), (16, args.latent_dim))
+
+    @jax.jit
+    def sample_fn(state):
+        return G.apply({'params': state['G_ema'],
+                        'moments': state['G_moments']}, const_z)
+
+    return run_training(
+        name='CIPS', args=args, accel=accel, state=state, loader=loader,
+        train_step=train_step, sample_fn=sample_fn,
+        max_iters=max_iters, save_interval=args.save,
+        ema_params_path=lambda s: {'params': s['G_ema'],
+                                   'moments': s['G_moments']},
+    )
+
+
+def main(parser):
+    parser = add_args(parser, dict(
+        latent_dim=[512, 'latent dimension'],
+        style_dim=[512, 'style dimension'],
+        num_layers=[14, 'style layers (even)'],
+        channels=[32, 'channel base'],
+        max_channels=[512, 'max channels'],
+        map_num_layers=[4, 'mapping layers'],
+        d_channels=[64, 'D channel base'],
+        d_max_channels=[512, 'D max channels'],
+        lr=[2e-3, 'learning rate'],
+        betas=[[0., 0.99], 'betas'],
+        gp_lambda=[10., 'lambda for r1'],
+        gp_every=[16, 'R1 every N steps'],
+        policy=['color,translation', 'DiffAugment policy'],
+    ))
+    args = parser.parse_args()
+    save_args(args)
+
+    loader = build_loader(args, 'image')
+    max_iters = default_max_iters(args, loader)
+    train(args, max_iters, loader)

@@ -296,3 +296,14 @@ def test_edge_end_to_end(tmp_path):
                    extra_args=_sg2_small() + ('--d-k', '2',
                                               '--edge-loss-from', '3'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_cips_end_to_end(tmp_path):
+    out = run_impl('CIPS', tmp_path, iters=4, image_size=16, batch=8,
+                   extra_args=('--latent-dim', '16', '--style-dim', '16',
+                               '--num-layers', '2', '--channels', '4',
+                               '--max-channels', '16', '--map-num-layers', '1',
+                               '--d-channels', '8', '--d-max-channels', '16',
+                               '--gp-every', '2'))
+    check_artifacts(out)
