@@ -307,3 +307,16 @@ def test_cips_end_to_end(tmp_path):
                                '--d-channels', '8', '--d-max-channels', '16',
                                '--gp-every', '2'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_hit_end_to_end(tmp_path):
+    out = run_impl('HiT', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--latent-dim', '16',
+                               '--dims', '32', '32', '16',
+                               '--bottom', '8', '--low-stages', '1',
+                               '--num-heads', '4', '4', '4',
+                               '--num-blocks', '1', '1', '1',
+                               '--patch-sizes', '4',
+                               '--d-channels', '8', '--gp-every', '2'))
+    check_artifacts(out)
