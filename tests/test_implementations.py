@@ -320,3 +320,17 @@ def test_hit_end_to_end(tmp_path):
                                '--patch-sizes', '4',
                                '--d-channels', '8', '--gp-every', '2'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_pix2pixhd_end_to_end(tmp_path):
+    out = run_impl('pix2pixHD', tmp_path, iters=4, image_size=64, batch=8,
+                   extra_args=('--channels', '8', '--d-channels', '8',
+                               '--num-test', '2'))
+    check_artifacts(out)
+    # degenerate scales produce empty logits -> NaN (masked to 0); assert real
+    with open(os.path.join(out, 'checkpoint',
+                           sorted(os.listdir(os.path.join(out, 'checkpoint')))[-1],
+                           'meta.json')) as f:
+        meta = json.load(f)
+    assert any(v != 0 for v in meta['status']['loss']['d'])
