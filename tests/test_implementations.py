@@ -334,3 +334,12 @@ def test_pix2pixhd_end_to_end(tmp_path):
                            'meta.json')) as f:
         meta = json.load(f)
     assert any(v != 0 for v in meta['status']['loss']['d'])
+
+
+@pytest.mark.slow
+def test_spade_end_to_end(tmp_path):
+    out = run_impl('SPADE', tmp_path, iters=4, image_size=64, batch=8,
+                   extra_args=('--channels', '8', '--d-channels', '8',
+                               '--e-channels', '8', '--z-dim', '16',
+                               '--num-test', '2'))
+    check_artifacts(out)
