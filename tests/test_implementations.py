@@ -343,3 +343,11 @@ def test_spade_end_to_end(tmp_path):
                                '--e-channels', '8', '--z-dim', '16',
                                '--num-test', '2'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_stylegan1_end_to_end(tmp_path):
+    out = run_impl('StyleGAN', tmp_path, iters=0, image_size=8, batch=8,
+                   extra_args=('--latent-dim', '32', '--style-dim', '32'))
+    files = os.listdir(out)
+    assert 'final.png' in files and 'G_final.msgpack' in files
