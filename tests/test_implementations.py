@@ -351,3 +351,13 @@ def test_stylegan1_end_to_end(tmp_path):
                    extra_args=('--latent-dim', '32', '--style-dim', '32'))
     files = os.listdir(out)
     assert 'final.png' in files and 'G_final.msgpack' in files
+
+
+@pytest.mark.slow
+def test_singan_end_to_end(tmp_path):
+    out = run_impl('SinGAN', tmp_path, iters=2, image_size=32, batch=1,
+                   extra_args=('--min-size', '16', '--scale-factor', '0.6',
+                               '--channels', '8', '--num-layers', '3'))
+    files = os.listdir(out)
+    assert 'G_final.msgpack' in files and 'loss.png' in files
+    assert any(f.startswith('scale_') for f in files)
