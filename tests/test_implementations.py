@@ -361,3 +361,11 @@ def test_singan_end_to_end(tmp_path):
     files = os.listdir(out)
     assert 'G_final.msgpack' in files and 'loss.png' in files
     assert any(f.startswith('scale_') for f in files)
+
+
+@pytest.mark.slow
+def test_contrad_end_to_end(tmp_path):
+    out = run_impl('ContraD', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=_sg2_small() + ('--d-channels', '8',
+                                              '--projection-features', '16'))
+    check_artifacts(out)
