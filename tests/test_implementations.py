@@ -369,3 +369,11 @@ def test_contrad_end_to_end(tmp_path):
                    extra_args=_sg2_small() + ('--d-channels', '8',
                                               '--projection-features', '16'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_hologan_end_to_end(tmp_path):
+    out = run_impl('HoloGAN', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--channels', '16', '--noise-channels', '8',
+                               '--d-channels', '4'))
+    check_artifacts(out)
