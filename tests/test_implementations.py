@@ -377,3 +377,12 @@ def test_hologan_end_to_end(tmp_path):
                    extra_args=('--channels', '16', '--noise-channels', '8',
                                '--d-channels', '4'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_ugatit_end_to_end(tmp_path):
+    out = run_impl('UGATIT', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--channels', '8', '--d-channels', '8',
+                               '--resblocks', '1', '--adalinresblocks', '1',
+                               '--num-test', '2'))
+    check_artifacts(out)
