@@ -386,3 +386,12 @@ def test_ugatit_end_to_end(tmp_path):
                                '--resblocks', '1', '--adalinresblocks', '1',
                                '--num-test', '2'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_ganilla_end_to_end(tmp_path):
+    out = run_impl('GANILLA', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--channels', '4', '--hid-channels', '8',
+                               '--num-feats', '1', '--d-channels', '8',
+                               '--num-test', '2'))
+    check_artifacts(out)
