@@ -403,3 +403,13 @@ def test_anigan_end_to_end(tmp_path):
                    extra_args=('--channels', '8', '--d-channels', '8',
                                '--bottom-width', '8', '--num-test', '2'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('norm', ['lin', 'polin'])
+def test_normalizations_end_to_end(tmp_path, norm):
+    out = run_impl('normalizations', tmp_path, iters=2, image_size=64, batch=8,
+                   extra_args=('--channels', '8', '--d-channels', '8',
+                               '--style-dim', '16', '--norm-name', norm,
+                               '--num-test', '2'))
+    check_artifacts(out, iters=2)
