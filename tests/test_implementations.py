@@ -413,3 +413,11 @@ def test_normalizations_end_to_end(tmp_path, norm):
                                '--style-dim', '16', '--norm-name', norm,
                                '--num-test', '2'))
     check_artifacts(out, iters=2)
+
+
+@pytest.mark.slow
+def test_scft_end_to_end(tmp_path):
+    out = run_impl('SCFT', tmp_path, iters=2, image_size=32, batch=8,
+                   extra_args=('--enc-channels', '4', '--d-channels', '8',
+                               '--num-res-blocks', '1', '--num-test', '2'))
+    check_artifacts(out, iters=2)
