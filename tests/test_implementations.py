@@ -421,3 +421,13 @@ def test_scft_end_to_end(tmp_path):
                    extra_args=('--enc-channels', '4', '--d-channels', '8',
                                '--num-res-blocks', '1', '--num-test', '2'))
     check_artifacts(out, iters=2)
+
+
+@pytest.mark.slow
+def test_hisd_end_to_end(tmp_path):
+    out = run_impl('HiSD', tmp_path, iters=3, image_size=32, batch=8,
+                   extra_args=('--style-dim', '16', '--latent-dim', '8',
+                               '--channels', '8', '--d-channels', '8',
+                               '--trans-num-blocks', '1'))
+    files = os.listdir(out)
+    assert 'G_final.msgpack' in files and 'loss.png' in files
