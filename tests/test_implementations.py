@@ -431,3 +431,13 @@ def test_hisd_end_to_end(tmp_path):
                                '--trans-num-blocks', '1'))
     files = os.listdir(out)
     assert 'G_final.msgpack' in files and 'loss.png' in files
+
+
+@pytest.mark.slow
+def test_peingan_end_to_end(tmp_path):
+    out = run_impl('PEinGAN', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--channels', '8', '--max-channels', '32',
+                               '--style-dim', '32', '--map-num-layers', '2',
+                               '--embed-dim', '16', '--gp-every', '2',
+                               '--scales', '1.0', '--scale-probs', '1.0'))
+    check_artifacts(out)
