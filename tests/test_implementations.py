@@ -441,3 +441,46 @@ def test_peingan_end_to_end(tmp_path):
                                '--embed-dim', '16', '--gp-every', '2',
                                '--scales', '1.0', '--scale-probs', '1.0'))
     check_artifacts(out)
+
+
+@pytest.mark.slow
+def test_edcnn_end_to_end(tmp_path):
+    out = run_impl('EDCNN', tmp_path, iters=2, image_size=64, batch=8,
+                   extra_args=('--channels', '4', '--d-channels', '8',
+                               '--style-dim', '16', '--num-test', '2'))
+    check_artifacts(out, iters=2)
+
+
+@pytest.mark.slow
+def test_sebiggan_end_to_end(tmp_path):
+    out = run_impl('SEBigGAN', tmp_path, iters=2, image_size=32, batch=8,
+                   extra_args=('--channels', '8', '--z-dim', '16'))
+    check_artifacts(out, iters=2)
+
+
+@pytest.mark.slow
+def test_diffaugment_impl_end_to_end(tmp_path):
+    out = run_impl('DiffAugment', tmp_path, iters=0, image_size=8, batch=8,
+                   extra_args=('--latent-dim', '16',))
+    files = os.listdir(out)
+    assert 'final.png' in files and 'G_final.msgpack' in files
+
+
+@pytest.mark.slow
+def test_nafnet_end_to_end(tmp_path):
+    out = run_impl('NAFNet', tmp_path, iters=2, image_size=32, batch=8,
+                   extra_args=('--bottom', '8', '--g-channels', '8',
+                               '--blocks-per-scale', '1', '--mid-blocks', '1',
+                               '--d-channels', '8', '--num-layers', '2',
+                               '--num-test', '2'))
+    check_artifacts(out, iters=2)
+
+
+@pytest.mark.slow
+def test_restormer_end_to_end(tmp_path):
+    out = run_impl('Restormer', tmp_path, iters=2, image_size=32, batch=8,
+                   extra_args=('--bottom', '8', '--g-channels', '8',
+                               '--blocks-per-scale', '1', '--mid-blocks', '1',
+                               '--num-heads', '2', '--d-channels', '8',
+                               '--num-layers', '2', '--num-test', '2'))
+    check_artifacts(out, iters=2)
