@@ -77,6 +77,11 @@ def make_default_transform(image_size: int, resize_scale: float = 1.,
             a = a[:, ::-1].copy()
         return a
 
+    # Tag the pipeline parameters so datasets can route through the native
+    # C++ decode path (dataset/native.py) when it computes the same thing.
+    transform.native_cfg = dict(image_size=image_size,
+                                resize_scale=resize_scale,
+                                hflip=hflip) if normalize else None
     return transform
 
 
@@ -137,10 +142,19 @@ class DataLoader:
         nb = len(idx) // self.batch_size if self.drop_last else \
             (len(idx) + self.batch_size - 1) // self.batch_size
 
+        # Native C++ fast path: the dataset decodes whole batches on its own
+        # thread pool, so a single producer thread suffices either way.
+        batch_fn = getattr(self.dataset, 'load_native_batch', None)
+        if batch_fn is not None and not self.dataset.native_ok():
+            batch_fn = None
+        if batch_fn is None:
+            def batch_fn(chunk):
+                return _default_collate([self.dataset[int(i)] for i in chunk])
+
         if self.num_workers <= 1:
             for b in range(nb):
                 chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                yield _default_collate([self.dataset[int(i)] for i in chunk])
+                yield batch_fn(chunk)
             return
 
         out_q: _queue.Queue = _queue.Queue(maxsize=self.prefetch)
@@ -152,8 +166,7 @@ class DataLoader:
                     if stop.is_set():
                         break
                     chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                    out_q.put(_default_collate(
-                        [self.dataset[int(i)] for i in chunk]))
+                    out_q.put(batch_fn(chunk))
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 out_q.put(e)
@@ -201,6 +214,27 @@ class Image(WrappedDataset):
     def __getitem__(self, index) -> np.ndarray:
         image = pilImage.open(self.images[index]).convert('RGB')
         return self.transform(image)
+
+    # ---- native C++ decode path (dataset/native.py) ----
+
+    def native_ok(self) -> bool:
+        from animeface_tpu.dataset import native
+        cfg = getattr(self.transform, 'native_cfg', None)
+        return cfg is not None and native.available() \
+            and all(isinstance(p, (str, os.PathLike)) for p in self.images[:1])
+
+    def load_native_batch(self, indices) -> np.ndarray:
+        from animeface_tpu.dataset import native
+        cfg = self.transform.native_cfg
+        paths = [str(self.images[int(i)]) for i in indices]
+        mask = (np.random.rand(len(paths)) > 0.5).astype(np.uint8) \
+            if cfg['hflip'] else None
+        batch, fail = native.load_batch(
+            paths, cfg['image_size'], cfg['resize_scale'], mask)
+        if fail.any():  # PIL fallback for corrupt files
+            for i in np.nonzero(fail)[0]:
+                batch[i] = self[int(indices[int(i)])]
+        return batch
 
     def __len__(self) -> int:
         return len(self.images)

@@ -78,6 +78,10 @@ def run_training(
                                      'args': {k: str(v) for k, v in vars(args).items()}})
 
     # ---- loop ----
+    if len(loader) == 0:
+        raise ValueError(
+            f'[{name}] empty loader: the dataset has fewer samples than one '
+            f'batch (dataset filters like --min-year can cause this)')
     done = False
     while not done:
         for batch in accel.iter_loader(loader):
