@@ -1,0 +1,86 @@
+'''FID-50k CLI: generated samples from a trained G vs a dataset.
+
+    python -m animeface_tpu.metrics.fid_cli \
+        --model StyleGAN2 --weights path/to/G_50000.msgpack \
+        --dataset animeface --image-size 256 --num-samples 50000
+
+Requires ANIMEFACE_INCEPTION_WEIGHTS (see tools/convert_inception_weights.py).
+'''
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def generator_batches(sample_fn, num_samples: int, batch_size: int, seed: int):
+    import jax
+    key = jax.random.PRNGKey(seed)
+    n = 0
+    while n < num_samples:
+        key, sub = jax.random.split(key)
+        yield np.asarray(sample_fn(sub))
+        n += batch_size
+
+
+def main():
+    p = argparse.ArgumentParser(description='FID-50k harness')
+    p.add_argument('--model', default='StyleGAN2',
+                   help='implementation name (StyleGAN2 supported natively)')
+    p.add_argument('--weights', required=True, help='G params .msgpack')
+    p.add_argument('--dataset', default='animeface')
+    p.add_argument('--data-root', default=None)
+    p.add_argument('--image-size', type=int, default=256)
+    p.add_argument('--num-samples', type=int, default=50_000)
+    p.add_argument('--batch-size', type=int, default=64)
+    p.add_argument('--style-dim', type=int, default=512)
+    p.add_argument('--channels', type=int, default=32)
+    p.add_argument('--max-channels', type=int, default=512)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--kid', action='store_true', help='also report KID')
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from animeface_tpu.utils import EasyDict
+    from animeface_tpu.checkpoint import load_model
+    from animeface_tpu.dataset import build_loader
+    from animeface_tpu.metrics import compute_fid, make_extractor
+
+    from animeface_tpu.implementations.StyleGAN2.model import Generator
+    G = Generator(image_size=args.image_size, style_dim=args.style_dim,
+                  channels=args.channels, max_channels=args.max_channels,
+                  dtype=jnp.bfloat16)
+    z0 = jnp.zeros((1, args.style_dim))
+    template = G.init({'params': jax.random.PRNGKey(0),
+                       'noise': jax.random.PRNGKey(1)}, z0)['params']
+    params = load_model(args.weights, template)
+
+    @jax.jit
+    def sample_fn(key):
+        zkey, nkey = jax.random.split(key)
+        z = jax.random.normal(zkey, (args.batch_size, args.style_dim))
+        images, _ = G.apply({'params': params}, z, rngs={'noise': nkey})
+        return images
+
+    loader_args = EasyDict(
+        dataset=args.dataset, data_root=args.data_root, synthetic_data=False,
+        image_size=args.image_size, batch_size=args.batch_size,
+        min_year=None, num_images=None, seed=args.seed)
+    loader = build_loader(loader_args, 'image')
+
+    def real_stream():
+        while True:
+            yield from loader
+
+    extract = make_extractor()
+    fid = compute_fid(real_stream(),
+                      generator_batches(sample_fn, args.num_samples,
+                                        args.batch_size, args.seed),
+                      extract, num_samples=args.num_samples, verbose=True)
+    print(f'FID-{args.num_samples // 1000}k: {fid:.4f}')
+
+
+if __name__ == '__main__':
+    main()
