@@ -343,3 +343,57 @@ def test_grid_sample_double_backward(key):
 
 def test_fma():
     assert float(fma(jnp.float32(2), jnp.float32(3), jnp.float32(4))) == 10.0
+
+
+# ---------------- pallas filtered_lrelu kernel ----------------
+
+class TestFilteredLreluPallas:
+    '''Fused polyphase kernel vs the XLA composition oracle (interpret mode
+    on CPU; the same kernel compiles for TPU via Mosaic).'''
+
+    def _run(self, C=128, pad=11, clamp=None, bias=True, H=16, seed=0):
+        import numpy as np
+        from unittest import mock
+        from jax.experimental import pallas as pl
+        from animeface_tpu.ops.filtered_lrelu import filtered_lrelu
+        from animeface_tpu.ops import pallas_kernels
+        from animeface_tpu.ops.upfirdn2d import setup_filter
+
+        key = jax.random.PRNGKey(seed)
+        fu = setup_filter(np.hanning(12), normalize=True)
+        x = jax.random.normal(key, (2, H, H, C), jnp.float32)
+        b = (jax.random.normal(key, (C,), jnp.float32) * 0.3) if bias else None
+        ref = filtered_lrelu(x, fu, fu, b, up=2, down=2, padding=pad,
+                             clamp=clamp, impl='xla')
+        orig = pl.pallas_call
+        with mock.patch.object(pl, 'pallas_call',
+                               lambda *a, **k: orig(*a, interpret=True, **k)):
+            got = pallas_kernels.filtered_lrelu_pallas(
+                x, np.asarray(fu), np.asarray(fu), b, 2, 2,
+                (pad, pad, pad, pad), float(np.sqrt(2)), 0.2, clamp, False)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6)
+
+    def test_basic(self):
+        self._run()
+
+    def test_bias_and_clamp(self):
+        self._run(C=256, clamp=0.5)
+
+    def test_no_bias(self):
+        self._run(bias=False)
+
+    def test_fallback_out_of_scope(self):
+        import numpy as np
+        from animeface_tpu.ops import pallas_kernels
+        from animeface_tpu.ops.upfirdn2d import setup_filter
+        fu = np.asarray(setup_filter(np.hanning(12), normalize=True))
+        x = jnp.zeros((1, 16, 16, 64))      # C not a multiple of 128
+        assert pallas_kernels.filtered_lrelu_pallas(
+            x, fu, fu, None, 2, 2, (11, 11, 11, 11), 1.4, 0.2, None,
+            False) is None
+        x = jnp.zeros((1, 16, 16, 128))     # up != 2
+        assert pallas_kernels.filtered_lrelu_pallas(
+            x, fu, fu, None, 1, 2, (11, 11, 11, 11), 1.4, 0.2, None,
+            False) is None
