@@ -57,7 +57,9 @@ def bias_act(x, b=None, dim: int = -1, act: str = 'linear', alpha=None,
         from animeface_tpu.ops import pallas_kernels
         fn = pallas_kernels.bias_act_pallas
         if fn is not None:
-            return fn(x, b, dim, act, alpha, gain, clamp)
+            out = fn(x, b, dim, act, alpha, gain, clamp)
+            if out is not None:
+                return out
 
     if b is not None:
         assert b.ndim == 1

@@ -54,8 +54,10 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up: int = 1, down: int = 1,
         from animeface_tpu.ops import pallas_kernels
         fn = pallas_kernels.filtered_lrelu_pallas
         if fn is not None:
-            return fn(x, fu, fd, b, up, down, (px0, px1, py0, py1),
-                      gain, slope, clamp, flip_filter)
+            out = fn(x, fu, fd, b, up, down, (px0, px1, py0, py1),
+                     gain, slope, clamp, flip_filter)
+            if out is not None:
+                return out
 
     in_dtype = x.dtype
     x = bias_act(x, b)

@@ -231,5 +231,52 @@ def filtered_lrelu_pallas(x, fu, fd, b, up, down, padding, gain, slope,
     )(xp, b_arr)
 
 
+def _bias_act_kernel(x_ref, b_ref, o_ref, *, act, alpha, gain, clamp):
+    from animeface_tpu.ops.bias_act import activation_funcs
+    v = x_ref[...].astype(jnp.float32) + b_ref[0, :].astype(jnp.float32)
+    v = activation_funcs[act].func(v, alpha=alpha)
+    if gain != 1:
+        v = v * gain
+    if clamp >= 0:
+        v = jnp.clip(v, -clamp, clamp)
+    o_ref[...] = v.astype(o_ref.dtype)
+
+
+def bias_act_pallas(x, b, dim, act, alpha, gain, clamp):
+    '''Standalone fused bias+act+gain+clamp (reference bias_act.cu).
+
+    Under jit XLA already fuses this chain into the producer's epilogue, so
+    the kernel only matters for standalone invocations. Scope: bias on the
+    trailing axis with C % 128 == 0 and a 2D-collapsible batch; otherwise
+    fall back to the XLA path.
+    '''
+    if b is None or dim not in (-1, x.ndim - 1):
+        return None
+    C = x.shape[-1]
+    if C % 128 != 0 or b.shape[0] != C:
+        return None
+    M = int(np.prod(x.shape[:-1]))
+    if M % 8 != 0:
+        return None
+    TM = 512 if M % 512 == 0 else (8 if M % 8 == 0 else None)
+    if TM is None:
+        return None
+    x2 = x.reshape(M, C)
+    out = pl.pallas_call(
+        functools.partial(_bias_act_kernel, act=act, alpha=alpha,
+                          gain=gain, clamp=clamp),
+        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+        grid=(M // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(x2, jnp.asarray(b, x.dtype).reshape(1, C))
+    return out.reshape(x.shape)
+
+
 upfirdn2d_pallas = None
-bias_act_pallas = None

@@ -397,3 +397,39 @@ class TestFilteredLreluPallas:
         assert pallas_kernels.filtered_lrelu_pallas(
             x, fu, fu, None, 1, 2, (11, 11, 11, 11), 1.4, 0.2, None,
             False) is None
+
+
+class TestBiasActPallas:
+    def test_matches_xla(self):
+        import numpy as np
+        from unittest import mock
+        from jax.experimental import pallas as pl
+        from animeface_tpu.ops.bias_act import bias_act
+        from animeface_tpu.ops import pallas_kernels
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (4, 8, 8, 128), jnp.float32)
+        b = jax.random.normal(key, (128,), jnp.float32)
+        for act, clamp in (('lrelu', -1.0), ('swish', 0.7), ('linear', -1.0)):
+            ref = bias_act(x, b, act=act,
+                           clamp=None if clamp < 0 else clamp, impl='xla')
+            orig = pl.pallas_call
+            with mock.patch.object(
+                    pl, 'pallas_call',
+                    lambda *a, **k: orig(*a, interpret=True, **k)):
+                got = pallas_kernels.bias_act_pallas(
+                    x, b, -1, act, 0.2,
+                    float(np.sqrt(2)) if act in ('lrelu', 'swish') else 1.0,
+                    clamp)
+            assert got is not None
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-6)
+
+    def test_fallback(self):
+        from animeface_tpu.ops import pallas_kernels
+        x = jnp.zeros((2, 4, 4, 64))       # C not multiple of 128
+        assert pallas_kernels.bias_act_pallas(
+            x, jnp.zeros((64,)), -1, 'lrelu', 0.2, 1.4, -1.0) is None
+        assert pallas_kernels.bias_act_pallas(     # no bias
+            jnp.zeros((2, 4, 4, 128)), None, -1, 'lrelu', 0.2, 1.4,
+            -1.0) is None
