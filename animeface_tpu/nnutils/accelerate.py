@@ -33,8 +33,12 @@ class Accelerator:
     ...     state, metrics = step(state, batch)
     '''
 
-    def __init__(self, mesh_shape=(-1,), bf16: bool = True, devices=None):
-        self.mesh = make_mesh(mesh_shape, devices=devices)
+    def __init__(self, mesh_shape=(-1,), bf16: bool = True, devices=None,
+                 axis_names=None):
+        '''axis_names: override mesh axes, e.g. ('data', 'spatial') to shard
+        image H across devices in addition to the batch axis.'''
+        self.mesh = make_mesh(mesh_shape, axis_names=axis_names,
+                              devices=devices)
         self.bf16 = bf16
 
     @property

@@ -17,6 +17,7 @@ import os
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from animeface_tpu.checkpoint import Checkpointer, save_model
@@ -67,6 +68,17 @@ def run_training(
 
     def save_snapshot(state):
         step = status.batches_done
+        # params-level failure detection: recipes that sanitize logged losses
+        # (nan_to_num, reference behavior) can still diverge silently — probe
+        # one weight leaf per top-level state entry at checkpoint cadence.
+        for key_name, sub in state.items():
+            leaves = jax.tree_util.tree_leaves(sub)
+            if leaves and hasattr(leaves[0], 'dtype') and \
+                    jnp.issubdtype(leaves[0].dtype, jnp.floating):
+                if not bool(jnp.all(jnp.isfinite(leaves[0]))):
+                    raise FloatingPointError(
+                        f'[{name}] non-finite values in state[{key_name!r}] '
+                        f'at iter {step}; aborting')
         if sample_fn is not None:
             images = np.asarray(sample_fn(state))
             save_image(images, os.path.join(out_dir, f'{step}.png'), nrow=nrow)
@@ -82,6 +94,27 @@ def run_training(
         raise ValueError(
             f'[{name}] empty loader: the dataset has fewer samples than one '
             f'batch (dataset filters like --min-year can cause this)')
+    # failure detection (SURVEY §5: new capability, not a port): abort when
+    # every loss has been non-finite for a sustained stretch instead of
+    # silently training on garbage. Checked on the logging cadence so the
+    # deferred device->host sync stays off the step path.
+    guard_every = max(int(getattr(args, 'log_interval', 1) or 1), 10)
+
+    def _check_finite():
+        import math
+        window = 10
+        for vs in status._loss.values():
+            tail = vs[-window:]
+            if len(tail) >= window and any(
+                    math.isfinite(float(v)) for v in tail):
+                return
+            if len(tail) < window:
+                return
+        raise FloatingPointError(
+            f'[{name}] all losses non-finite for {window} consecutive steps '
+            f'at iter {status.batches_done}; aborting (resume from the last '
+            f'checkpoint with --resume)')
+
     done = False
     while not done:
         for batch in accel.iter_loader(loader):
@@ -89,6 +122,8 @@ def run_training(
             if status.batches_done % save_interval == 0 and status.batches_done > 0:
                 save_snapshot(state)
             status.update(**{k: v for k, v in metrics.items()})
+            if status.batches_done % guard_every == 0:
+                _check_finite()
             if status.batches_done >= max_iters:
                 done = True
                 break

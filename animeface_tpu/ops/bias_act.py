@@ -43,6 +43,7 @@ activation_funcs = {
 }
 
 
+@jax.named_scope('ops.bias_act')    # reference profiled_function seam (bias_act.py:87)
 def bias_act(x, b=None, dim: int = -1, act: str = 'linear', alpha=None,
              gain=None, clamp=None, impl: str | None = None):
     '''Fused bias + activation + gain + clamp (reference bias_act :49).'''

@@ -21,6 +21,7 @@ NHWC layout.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from animeface_tpu.ops.upfirdn2d import (
@@ -30,6 +31,7 @@ from animeface_tpu.ops.bias_act import bias_act
 from animeface_tpu.ops.registry import resolve_impl
 
 
+@jax.named_scope('ops.filtered_lrelu')  # reference profiled_function seam (filtered_lrelu.py:114)
 def filtered_lrelu(x, fu=None, fd=None, b=None, up: int = 1, down: int = 1,
                    padding=0, gain: float = float(np.sqrt(2)), slope: float = 0.2,
                    clamp=None, flip_filter: bool = False, impl: str | None = None):

@@ -149,6 +149,7 @@ def _upfirdn2d_xla(x, f, up, down, padding, flip_filter, gain):
     return x
 
 
+@jax.named_scope('ops.upfirdn2d')   # reference profiled_function seam (upfirdn2d.py:162)
 def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter: bool = False,
               gain: float = 1, impl: str | None = None):
     '''Pad, upsample, filter, and downsample a batch of NHWC images.

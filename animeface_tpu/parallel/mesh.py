@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
+SPATIAL_AXIS = 'spatial'
 
 
 def make_mesh(shape=(-1,), axis_names=None, devices=None) -> Mesh:
@@ -44,8 +45,16 @@ def make_mesh(shape=(-1,), axis_names=None, devices=None) -> Mesh:
 
 
 def data_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    '''Shard the leading (batch) axis over the data axis.'''
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    '''Shard the leading (batch) axis over the data axis; when the mesh has
+    a 'spatial' axis, NHWC image batches additionally shard H over it
+    (spatial parallelism for >512px synthesis — GSPMD inserts the halo
+    exchanges for convolutions, the image-domain analogue of ring
+    attention; SURVEY.md §5).'''
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    if SPATIAL_AXIS in mesh.axis_names and ndim >= 3:
+        spec[1] = SPATIAL_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

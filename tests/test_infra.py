@@ -125,3 +125,45 @@ def test_save_load_model(tmp_path):
     save_model(p, params)
     out = load_model(p, {'k': jnp.zeros((3, 3))})
     np.testing.assert_allclose(np.asarray(out['k']), 2.0)
+
+
+def test_trainer_aborts_on_nonfinite(tmp_path, monkeypatch):
+    '''Failure detection: sustained NaN losses / non-finite params abort the
+    run with a FloatingPointError instead of training on garbage.'''
+    import jax.numpy as jnp
+    import pytest
+    from animeface_tpu.utils import EasyDict
+    from animeface_tpu.utils import argument
+    from animeface_tpu.nnutils.accelerate import Accelerator
+    from animeface_tpu.nnutils.trainer import run_training
+
+    monkeypatch.setattr(argument, 'IMPLEMENTATIONS_DIR', str(tmp_path))
+
+    class Loader:
+        def __len__(self):
+            return 100
+
+        def __iter__(self):
+            for _ in range(100):
+                yield jnp.zeros((8, 4, 4, 3))
+
+    def bad_step(state, batch):
+        return state, {'d': jnp.float32(float('nan'))}
+
+    args = EasyDict(log_interval=1, log_file='/dev/null', resume=None)
+    accel = Accelerator(mesh_shape=(-1,), bf16=False)
+    state = {'G': {'w': jnp.zeros((2, 2))}, 'step': jnp.int32(0)}
+    with pytest.raises(FloatingPointError, match='non-finite'):
+        run_training(name='nanrun', args=args, accel=accel, state=state,
+                     loader=Loader(), train_step=bad_step, sample_fn=None,
+                     max_iters=50, save_interval=1000)
+
+    def nan_param_step(state, batch):
+        return {'G': {'w': state['G']['w'] + float('nan')},
+                'step': state['step'] + 1}, {'d': jnp.float32(0.)}
+
+    state = {'G': {'w': jnp.zeros((2, 2))}, 'step': jnp.int32(0)}
+    with pytest.raises(FloatingPointError, match='non-finite'):
+        run_training(name='nanrun2', args=args, accel=accel, state=state,
+                     loader=Loader(), train_step=nan_param_step,
+                     sample_fn=None, max_iters=50, save_interval=5)
