@@ -215,6 +215,7 @@ def filtered_lrelu_pallas(x, fu, fd, b, up, down, padding, gain, slope,
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((N, out_h, out_w, C), x.dtype),
+        interpret=jax.default_backend() != 'tpu',
         grid=(N, out_h // TH, C // CB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -266,6 +267,7 @@ def bias_act_pallas(x, b, dim, act, alpha, gain, clamp):
         functools.partial(_bias_act_kernel, act=act, alpha=alpha,
                           gain=gain, clamp=clamp),
         out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+        interpret=jax.default_backend() != 'tpu',
         grid=(M // TM,),
         in_specs=[
             pl.BlockSpec((TM, C), lambda i: (i, 0),

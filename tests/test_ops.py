@@ -365,12 +365,10 @@ class TestFilteredLreluPallas:
         b = (jax.random.normal(key, (C,), jnp.float32) * 0.3) if bias else None
         ref = filtered_lrelu(x, fu, fu, b, up=2, down=2, padding=pad,
                              clamp=clamp, impl='xla')
-        orig = pl.pallas_call
-        with mock.patch.object(pl, 'pallas_call',
-                               lambda *a, **k: orig(*a, interpret=True, **k)):
-            got = pallas_kernels.filtered_lrelu_pallas(
-                x, np.asarray(fu), np.asarray(fu), b, 2, 2,
-                (pad, pad, pad, pad), float(np.sqrt(2)), 0.2, clamp, False)
+        # kernels auto-select interpret mode off-TPU
+        got = pallas_kernels.filtered_lrelu_pallas(
+            x, np.asarray(fu), np.asarray(fu), b, 2, 2,
+            (pad, pad, pad, pad), float(np.sqrt(2)), 0.2, clamp, False)
         assert got is not None
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-6)
@@ -413,14 +411,10 @@ class TestBiasActPallas:
         for act, clamp in (('lrelu', -1.0), ('swish', 0.7), ('linear', -1.0)):
             ref = bias_act(x, b, act=act,
                            clamp=None if clamp < 0 else clamp, impl='xla')
-            orig = pl.pallas_call
-            with mock.patch.object(
-                    pl, 'pallas_call',
-                    lambda *a, **k: orig(*a, interpret=True, **k)):
-                got = pallas_kernels.bias_act_pallas(
-                    x, b, -1, act, 0.2,
-                    float(np.sqrt(2)) if act in ('lrelu', 'swish') else 1.0,
-                    clamp)
+            got = pallas_kernels.bias_act_pallas(
+                x, b, -1, act, 0.2,
+                float(np.sqrt(2)) if act in ('lrelu', 'swish') else 1.0,
+                clamp)
             assert got is not None
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=1e-6)
