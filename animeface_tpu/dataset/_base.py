@@ -218,26 +218,35 @@ class Image(WrappedDataset):
     # ---- native C++ decode path (dataset/native.py) ----
 
     def native_ok(self) -> bool:
-        from animeface_tpu.dataset import native
-        cfg = getattr(self.transform, 'native_cfg', None)
-        return cfg is not None and native.available() \
-            and all(isinstance(p, (str, os.PathLike)) for p in self.images[:1])
+        return _native_cfg_ok(self.transform, self.images)
 
     def load_native_batch(self, indices) -> np.ndarray:
-        from animeface_tpu.dataset import native
-        cfg = self.transform.native_cfg
-        paths = [str(self.images[int(i)]) for i in indices]
-        mask = (np.random.rand(len(paths)) > 0.5).astype(np.uint8) \
-            if cfg['hflip'] else None
-        batch, fail = native.load_batch(
-            paths, cfg['image_size'], cfg['resize_scale'], mask)
-        if fail.any():  # PIL fallback for corrupt files
-            for i in np.nonzero(fail)[0]:
-                batch[i] = self[int(indices[int(i)])]
-        return batch
+        return _native_decode(self.images, indices, self.transform.native_cfg,
+                              lambda i: self[i])
 
     def __len__(self) -> int:
         return len(self.images)
+
+
+def _native_cfg_ok(transform, paths) -> bool:
+    from animeface_tpu.dataset import native
+    cfg = getattr(transform, 'native_cfg', None)
+    return cfg is not None and native.available() and len(paths) > 0 \
+        and isinstance(paths[0], (str, os.PathLike))
+
+
+def _native_decode(paths, indices, cfg, fallback):
+    '''Batch-decode `paths[indices]` through the C++ pipeline; corrupt files
+    fall back to the per-sample PIL path via `fallback(i)`.'''
+    from animeface_tpu.dataset import native
+    sel = [str(paths[int(i)]) for i in indices]
+    mask = (np.random.rand(len(sel)) > 0.5).astype(np.uint8) \
+        if cfg['hflip'] else None
+    batch, fail = native.load_batch(sel, cfg['image_size'],
+                                    cfg['resize_scale'], mask)
+    for i in np.nonzero(fail)[0]:
+        batch[i] = fallback(int(indices[int(i)]))
+    return batch
 
 
 class ImageImage(WrappedDataset):
@@ -251,6 +260,22 @@ class ImageImage(WrappedDataset):
         image1 = pilImage.open(self.images1[index]).convert('RGB')
         image2 = pilImage.open(self.images2[index]).convert('RGB')
         return self.transform(image1), self.transform(image2)
+
+    def native_ok(self) -> bool:
+        return _native_cfg_ok(self.transform, self.images1) \
+            and _native_cfg_ok(self.transform, self.images2)
+
+    def load_native_batch(self, indices):
+        cfg = self.transform.native_cfg
+        a = _native_decode(
+            self.images1, indices, cfg,
+            lambda i: self.transform(
+                pilImage.open(self.images1[i]).convert('RGB')))
+        b = _native_decode(
+            self.images2, indices, cfg,
+            lambda i: self.transform(
+                pilImage.open(self.images2[i]).convert('RGB')))
+        return a, b
 
     def __len__(self) -> int:
         return len(self.images1)
@@ -300,6 +325,23 @@ class ImageXDoG(WrappedDataset):
         image = pilImage.open(self.images[index]).convert('RGB')
         xdog = pilImage.open(self.xdogs[index]).convert('L')
         return self.transform(image), self.transform(xdog)
+
+    def native_ok(self) -> bool:
+        return _native_cfg_ok(self.transform, self.images) \
+            and _native_cfg_ok(self.transform, self.xdogs)
+
+    def load_native_batch(self, indices):
+        cfg = self.transform.native_cfg
+        imgs = _native_decode(
+            self.images, indices, cfg,
+            lambda i: self.transform(
+                pilImage.open(self.images[i]).convert('RGB')))
+        # xdog sources are grayscale (r==g==b after decode) -> keep 1 channel
+        lines = _native_decode(
+            self.xdogs, indices, cfg,
+            lambda i: np.repeat(self.transform(
+                pilImage.open(self.xdogs[i]).convert('L')), 3, axis=-1))
+        return imgs, lines[..., :1]
 
     def shuffle_xdog(self) -> None:
         _random.shuffle(self.xdogs)

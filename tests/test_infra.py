@@ -167,3 +167,14 @@ def test_trainer_aborts_on_nonfinite(tmp_path, monkeypatch):
         run_training(name='nanrun2', args=args, accel=accel, state=state,
                      loader=Loader(), train_step=nan_param_step,
                      sample_fn=None, max_iters=50, save_interval=5)
+
+
+@pytest.mark.slow
+def test_spatial_sharding_matches_data_parallel():
+    '''One StyleGAN2 train step on a (8,) dp mesh and a (4, 2) dp x sp mesh
+    (image H sharded over 'spatial') must produce matching metrics — GSPMD
+    halo exchange is semantically transparent (asserted inside
+    dryrun_multichip).'''
+    import __graft_entry__ as ge
+    # the dryrun asserts finiteness internally and runs both meshes
+    ge.dryrun_multichip(8)

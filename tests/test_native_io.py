@@ -111,3 +111,46 @@ def test_dataset_integration(tmp_path):
     loader = DataLoader(ds, batch_size=4, num_workers=2, seed=0)
     batches = list(loader)
     assert len(batches) == 2 and batches[0].shape == (4, 32, 32, 3)
+
+
+def test_pair_dataset_native(tmp_path):
+    '''ImageXDoG/ImageImage route through the native decoder.'''
+    from animeface_tpu.dataset._base import (
+        ImageXDoG, ImageImage, make_default_transform, DataLoader,
+    )
+    rng = np.random.default_rng(7)
+    imgs, lines = [], []
+    for i in range(8):
+        arr = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        g = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+        p1 = str(tmp_path / f'i{i}.png')
+        p2 = str(tmp_path / f'x{i}.png')
+        pilImage.fromarray(arr).save(p1)
+        pilImage.fromarray(g, mode='L').save(p2)
+        imgs.append(p1)
+        lines.append(p2)
+
+    class XD(ImageXDoG):
+        def _load(self):
+            return imgs, lines
+
+    ds = XD(make_default_transform(32, 1., hflip=False))
+    assert ds.native_ok()
+    a, b = ds.load_native_batch(np.arange(8))
+    assert a.shape == (8, 32, 32, 3) and b.shape == (8, 32, 32, 1)
+    # grayscale parity with the PIL path
+    ref_img, ref_line = ds[0]
+    np.testing.assert_allclose(a[0], ref_img, atol=2.5 / 255)
+    np.testing.assert_allclose(b[0], ref_line, atol=2.5 / 255)
+    batches = list(DataLoader(ds, 4, shuffle=False, num_workers=1))
+    assert batches[0][0].shape == (4, 32, 32, 3)
+    assert batches[0][1].shape == (4, 32, 32, 1)
+
+    class II(ImageImage):
+        def _load(self):
+            return imgs, imgs[::-1]
+
+    ds2 = II(make_default_transform(32, 1., hflip=False))
+    assert ds2.native_ok()
+    x, y = ds2.load_native_batch(np.arange(4))
+    assert x.shape == y.shape == (4, 32, 32, 3)
