@@ -11,3 +11,4 @@ from animeface_tpu.ops.filtered_lrelu import filtered_lrelu
 from animeface_tpu.ops.conv2d_resample import conv2d_resample
 from animeface_tpu.ops.grid_sample import grid_sample
 from animeface_tpu.ops.fma import fma
+from animeface_tpu.ops import gradfix

@@ -427,3 +427,46 @@ class TestBiasActPallas:
         assert pallas_kernels.bias_act_pallas(     # no bias
             jnp.zeros((2, 4, 4, 128)), None, -1, 'lrelu', 0.2, 1.4,
             -1.0) is None
+
+
+class TestGradfixWrappers:
+    def test_conv2d_matches_lax_and_double_grad(self):
+        import numpy as np
+        from animeface_tpu.ops import gradfix
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (2, 8, 8, 4))
+        w = jax.random.normal(key, (3, 3, 4, 6)) * 0.1
+        y = gradfix.conv2d(x, w, padding=1)
+        assert y.shape == (2, 8, 8, 6)
+        # arbitrary-order gradients compose (the whole point of gradfix)
+        g = jax.grad(lambda x: jnp.sum(gradfix.conv2d(x, w, padding=1) ** 2))
+        gg = jax.grad(lambda x: jnp.sum(g(x) ** 2))(x)
+        assert gg.shape == x.shape and bool(jnp.all(jnp.isfinite(gg)))
+
+    def test_no_weight_gradients(self):
+        from animeface_tpu.ops import gradfix
+        key = jax.random.PRNGKey(1)
+        x = jax.random.normal(key, (1, 4, 4, 2))
+        w = jax.random.normal(key, (3, 3, 2, 2)) * 0.1
+
+        def loss(w):
+            with gradfix.no_weight_gradients():
+                return jnp.sum(gradfix.conv2d(x, w, padding=1))
+        gw = jax.grad(loss)(w)
+        assert float(jnp.max(jnp.abs(gw))) == 0.0
+
+    def test_conv_transpose2d_matches_torch(self):
+        import numpy as np
+        torch = pytest.importorskip('torch')
+        key = jax.random.PRNGKey(2)
+        x = np.asarray(jax.random.normal(key, (2, 5, 5, 3)), np.float32)
+        w = np.asarray(jax.random.normal(key, (4, 4, 3, 6)) * 0.1, np.float32)
+        from animeface_tpu.ops import gradfix
+        y = gradfix.conv_transpose2d(jnp.asarray(x), jnp.asarray(w),
+                                     stride=2, padding=1)
+        # torch: NCHW, weight [in, out, kh, kw]
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        wt = torch.from_numpy(w.transpose(2, 3, 0, 1))
+        ref = torch.nn.functional.conv_transpose2d(xt, wt, stride=2, padding=1)
+        ref = ref.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
