@@ -178,3 +178,38 @@ def test_spatial_sharding_matches_data_parallel():
     import __graft_entry__ as ge
     # the dryrun asserts finiteness internally and runs both meshes
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_generate_cli_flows(tmp_path):
+    '''tools/generate.py: plain, truncation, and style-mixing inference from
+    saved weights all produce a valid grid PNG.'''
+    import os
+    import sys
+    from PIL import Image as pilImage
+    from animeface_tpu.implementations.StyleGAN2.model import Generator
+    from animeface_tpu.checkpoint import save_model
+    import tools.generate as gen
+
+    G = Generator(image_size=32, style_dim=32, channels=8, max_channels=32)
+    params = G.init({'params': jax.random.PRNGKey(0),
+                     'noise': jax.random.PRNGKey(1)},
+                    jnp.zeros((1, 32)))['params']
+    wpath = str(tmp_path / 'G.msgpack')
+    save_model(wpath, params)
+
+    out = str(tmp_path / 'gen.png')
+    base = ['generate.py', '--weights', wpath, '--num', '4', '--out', out,
+            '--image-size', '32', '--style-dim', '32', '--channels', '8',
+            '--max-channels', '32', '--nrow', '2']
+    old = sys.argv
+    try:
+        for extra in ([], ['--truncation', '0.7'],
+                      ['--mix-seed', '3', '--mix-layer', '2']):
+            sys.argv = base + extra
+            gen.main()
+            im = pilImage.open(out)
+            assert im.size[0] > 32 and im.size[1] > 32
+            os.remove(out)
+    finally:
+        sys.argv = old
