@@ -19,7 +19,8 @@ from animeface_tpu.utils import add_args, save_args
 from animeface_tpu.nnutils import KeyGen, sample_nnoise
 from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import NonSaturatingLoss
-from animeface_tpu.nnutils.trainer import run_training, default_max_iters
+from animeface_tpu.nnutils.trainer import (
+    run_training, default_max_iters, host_step_counter)
 from animeface_tpu.dataset import build_loader
 from animeface_tpu.implementations.StyleGAN2.model import Generator
 
@@ -49,11 +50,10 @@ def train(args, max_iters, loader):
         lambda do_r1, do_pl: accel.jit_step(build_train_step(
             G, D, g_tx, d_tx, loss, args.policy, args.r1_lambda,
             args.pl_lambda, args.d_k, args.g_k, 0.999, do_r1, do_pl)))
-    counter = {'i': 0}
+    next_index = host_step_counter()
 
     def train_step(state, batch):
-        i = counter['i']
-        counter['i'] += 1
+        i = next_index(state)
         do_r1 = bool(args.r1_lambda > 0 and i % args.d_k == 0 and i != 0)
         do_pl = bool(args.pl_lambda > 0 and i % args.g_k == 0 and i != 0)
         return step_builder(do_r1, do_pl)(state, batch)

@@ -13,7 +13,8 @@ from animeface_tpu.nnutils import KeyGen, sample_nnoise, update_ema
 from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import NonSaturatingLoss, r1_regularizer
 from animeface_tpu.nnutils.diffaugment import diff_augment
-from animeface_tpu.nnutils.trainer import run_training, default_max_iters
+from animeface_tpu.nnutils.trainer import (
+    run_training, default_max_iters, host_step_counter)
 from animeface_tpu.dataset import build_loader
 
 
@@ -93,11 +94,10 @@ def train(args, max_iters, loader):
         G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, False))
     jit_r1 = accel.jit_step(build_train_step(
         G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, True))
-    counter = {'i': 0}
+    next_index = host_step_counter()
 
     def train_step(state, batch):
-        i = counter['i']
-        counter['i'] += 1
+        i = next_index(state)
         if args.gp_lambda > 0 and i % args.gp_every == 0:
             return jit_r1(state, batch)
         return jit_plain(state, batch)

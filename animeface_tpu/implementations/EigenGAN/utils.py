@@ -14,7 +14,8 @@ from animeface_tpu.utils import add_args, save_args
 from animeface_tpu.nnutils import KeyGen, sample_nnoise, update_ema
 from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import HingeLoss, r1_regularizer
-from animeface_tpu.nnutils.trainer import run_training, default_max_iters
+from animeface_tpu.nnutils.trainer import (
+    run_training, default_max_iters, host_step_counter)
 from animeface_tpu.dataset import build_loader
 
 
@@ -104,11 +105,10 @@ def train(args, max_iters, loader):
         G, D, g_tx, d_tx, loss, args.gp_lambda, args.ortho_lambda, False))
     jit_r1 = accel.jit_step(build_train_step(
         G, D, g_tx, d_tx, loss, args.gp_lambda, args.ortho_lambda, True))
-    counter = {'i': 0}
+    next_index = host_step_counter()
 
     def train_step(state, batch):
-        i = counter['i']
-        counter['i'] += 1
+        i = next_index(state)
         if args.gp_lambda > 0 and i % args.gp_every == 0:
             return jit_r1(state, batch)
         return jit_plain(state, batch)

@@ -17,7 +17,8 @@ from animeface_tpu.nnutils import KeyGen, sample_nnoise, update_ema
 from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import NonSaturatingLoss, r1_regularizer
 from animeface_tpu.nnutils.diffaugment import diff_augment
-from animeface_tpu.nnutils.trainer import run_training, default_max_iters
+from animeface_tpu.nnutils.trainer import (
+    run_training, default_max_iters, host_step_counter)
 from animeface_tpu.dataset import build_loader
 
 
@@ -105,11 +106,10 @@ def train(args, max_iters, loader):
         return steps[key]
 
     py_rng = random.Random(args.seed)
-    counter = {'i': 0}
+    next_index = host_step_counter()
 
     def train_step(state, batch):
-        i = counter['i']
-        counter['i'] += 1
+        i = next_index(state)
         bottom = py_rng.choices(scale_bottoms,
                                 weights=args.scale_probs)[0]
         do_r1 = bool(args.gp_lambda > 0 and i % args.gp_every == 0 and i)

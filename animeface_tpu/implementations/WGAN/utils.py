@@ -18,7 +18,8 @@ from animeface_tpu.utils import add_args, save_args
 from animeface_tpu.nnutils import KeyGen, sample_nnoise
 from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import WGANLoss
-from animeface_tpu.nnutils.trainer import run_training, default_max_iters
+from animeface_tpu.nnutils.trainer import (
+    run_training, default_max_iters, host_step_counter)
 from animeface_tpu.dataset import build_loader
 
 
@@ -97,11 +98,10 @@ def train(args, max_iters, loader):
     jit_critic = accel.jit_step(critic_step)
     jit_full = accel.jit_step(full_step)
     n_critic = args.n_critic
-    counter = {'i': 0}
+    next_index = host_step_counter()
 
     def train_step(state, batch):
-        counter['i'] += 1
-        if counter['i'] % n_critic == 0:
+        if (next_index(state) + 1) % n_critic == 0:
             return jit_full(state, batch)
         return jit_critic(state, batch)
 

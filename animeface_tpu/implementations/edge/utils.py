@@ -24,7 +24,8 @@ from animeface_tpu.nnutils import KeyGen, sample_nnoise, update_ema
 from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import NonSaturatingLoss, r1_regularizer
 from animeface_tpu.nnutils.diffaugment import diff_augment
-from animeface_tpu.nnutils.trainer import run_training, default_max_iters
+from animeface_tpu.nnutils.trainer import (
+    run_training, default_max_iters, host_step_counter)
 from animeface_tpu.dataset import DataLoader, Image, make_default_transform
 from animeface_tpu.dataset._base import data_path
 from animeface_tpu.dataset.synthetic import SyntheticImage
@@ -132,11 +133,10 @@ def train(args, max_iters, loader):
         lambda do_r1, use_edge: accel.jit_step(build_train_step(
             G, D, g_tx, d_tx, loss, args.policy, args.r1_lambda, args.d_k,
             do_r1, use_edge)))
-    counter = {'i': 0}
+    next_index = host_step_counter()
 
     def train_step(state, batch):
-        i = counter['i']
-        counter['i'] += 1
+        i = next_index(state)
         do_r1 = bool(args.r1_lambda > 0 and i % args.d_k == 0 and i != 0)
         use_edge = bool(args.edge_loss_from > i)
         return step_builder(do_r1, use_edge)(state, batch)

@@ -18,7 +18,7 @@ from animeface_tpu.nnutils import KeyGen, sample_nnoise, update_ema
 from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import r1_regularizer
 from animeface_tpu.nnutils.diffaugment import diff_augment
-from animeface_tpu.nnutils.trainer import run_training
+from animeface_tpu.nnutils.trainer import run_training, host_step_counter
 
 
 def build_adv_step(G, D, g_tx, d_tx, loss, policy, gp_lambda, do_r1,
@@ -91,11 +91,10 @@ def run_simple_gan(name, args, loader, max_iters, G, D, loss,
     jit_r1 = accel.jit_step(build_adv_step(
         G, D, g_tx, d_tx, loss, policy, gp_lambda, True, latent_dim,
         ema_decay, g_rngs))
-    counter = {'i': 0}
+    next_index = host_step_counter()
 
     def train_step(state, batch):
-        i = counter['i']
-        counter['i'] += 1
+        i = next_index(state)
         if gp_lambda > 0 and i % gp_every == 0:
             return jit_r1(state, batch)
         return jit_plain(state, batch)

@@ -25,6 +25,29 @@ from animeface_tpu.utils import Status, save_image
 from animeface_tpu.utils.argument import result_dir
 
 
+def host_step_counter():
+    '''Host-side iteration index for cadence branching (lazy-reg, n_critic,
+    ADA intervals — reference `implementations/StyleGAN2/utils.py:71-79`).
+
+    A plain `i = 0` host counter phase-shifts the R1/PL/ADA schedule after
+    `--resume` (it restarts at 0 while the restored device step is N). The
+    first call reads `state['step']` — one concrete fetch, before the hot
+    loop — so the cadence derives from the restored step.
+
+    Returns `next_index(state) -> int`: current index, then advances.
+    '''
+    box = {'i': None}
+
+    def next_index(state) -> int:
+        if box['i'] is None:
+            box['i'] = int(state['step']) if 'step' in state else 0
+        i = box['i']
+        box['i'] += 1
+        return i
+
+    return next_index
+
+
 def default_max_iters(args, loader) -> int:
     '''reference: max_iters < 0 -> epochs * len(loader).'''
     if args.max_iters is not None and args.max_iters >= 0:
