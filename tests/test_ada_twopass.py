@@ -1,0 +1,125 @@
+'''Two-pass dense ADA geometry (nnutils/ada_geometry.py) vs the exact
+gather path (the torch-parity-tested oracle).
+
+Exactness ledger (see the module docstring):
+  * identity / integer / fractional translations: EXACT;
+  * flips / rot90s: exact permutations here; the oracle leaves a small
+    (<0.15 on unit-range images) asymmetric-filter phase residue on mirrored
+    maps — tolerance reflects the ORACLE's residue, not two-pass error;
+  * scalings: near-exact (<0.08) — a fixed 1x kernel vs the oracle's
+    input/output-rate kernel mixture;
+  * rotations: the classic two-pass (Catmull-Smith) separable approximation.
+'''
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from animeface_tpu.nnutils.ada import (
+    AugmentPipe, make_ada_pipe, _eye3, translate2d_inv, scale2d_inv,
+    rotate2d_inv)
+from animeface_tpu.nnutils.ada_geometry import (
+    twopass_warp, derive_axis_kernel, eval_kernel)
+
+
+@pytest.fixture(scope='module')
+def pipe():
+    return AugmentPipe(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
+                       aniso=1, xfrac=1)
+
+
+@pytest.fixture(scope='module')
+def img(key=jax.random.PRNGKey(0)):
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    x = jax.image.resize(x, (2, 32, 32, 3), method='bilinear')
+    return jnp.clip(x, -1, 1)
+
+
+def _compare(pipe, img, G, tol):
+    ref = np.asarray(pipe._execute_geometry_exact(img, G))
+    got = np.asarray(twopass_warp(img, G))
+    err = np.abs(got - ref).max()
+    assert err < tol, f'max abs err {err} vs tol {tol}'
+
+
+def test_kernel_table_matches_oracle():
+    half, support = derive_axis_kernel()
+    np.testing.assert_allclose(
+        half[:3], [0.610666, -0.145398, 0.043618], atol=1e-4)
+    # interpolating + piecewise-linear structure
+    k = np.asarray(eval_kernel(jnp.asarray([0., 1., 2., 0.25, 0.5]),
+                               half, support))
+    np.testing.assert_allclose(k[:3], [1, 0, 0], atol=1e-7)
+    np.testing.assert_allclose(k[3], (1 + half[0]) / 2, atol=1e-6)
+
+
+def test_exact_for_translations(pipe, img):
+    B = img.shape[0]
+    _compare(pipe, img, _eye3(B), 1e-4)
+    _compare(pipe, img, translate2d_inv(jnp.asarray([3., -2.]),
+                                        jnp.asarray([1., 5.])), 1e-4)
+    _compare(pipe, img, translate2d_inv(jnp.asarray([0.25, -1.6]),
+                                        jnp.asarray([2.3, 0.5])), 1e-4)
+
+
+def test_dihedral_close(pipe, img):
+    B = img.shape[0]
+    _compare(pipe, img, scale2d_inv(jnp.full((B,), -1.0),
+                                    jnp.full((B,), 1.0)), 0.16)
+    for k in (1, 2, 3):
+        _compare(pipe, img, rotate2d_inv(jnp.full((B,), -np.pi / 2 * k)), 0.16)
+
+
+def test_scalings_close(pipe, img):
+    B = img.shape[0]
+    for s in (1.3, 0.7):
+        _compare(pipe, img, scale2d_inv(jnp.full((B,), s),
+                                        jnp.full((B,), s)), 0.08)
+    _compare(pipe, img, scale2d_inv(jnp.asarray([1.4, 0.8]),
+                                    jnp.asarray([1 / 1.4, 1 / 0.8])), 0.08)
+
+
+def test_rotations_close(pipe, img):
+    B = img.shape[0]
+    for deg in (10, 45, 60, 115, 170, -100):
+        _compare(pipe, img, rotate2d_inv(
+            jnp.full((B,), float(np.deg2rad(deg)))), 0.4)
+
+
+def test_full_pipe_twopass_runs_and_matches_statistically():
+    '''The full AugmentPipe with geom_impl='twopass' must preserve the
+    augmented distribution: per-image mean/std close to the exact path
+    under the same keys, identity at p=0.'''
+    key = jax.random.PRNGKey(3)
+    x = jnp.clip(jax.image.resize(
+        jax.random.normal(key, (4, 8, 8, 3)), (4, 32, 32, 3), 'bilinear'),
+        -1, 1)
+    tp = make_ada_pipe(geom_impl='twopass')
+    ex = make_ada_pipe(geom_impl='exact')
+
+    # identity at p=0 (geometry still executes; must be lossless)
+    y0 = tp(key, x, jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(x), atol=2e-4)
+
+    yt = np.asarray(tp(key, x, jnp.float32(0.8)))
+    ye = np.asarray(ex(key, x, jnp.float32(0.8)))
+    # same random draws -> same transforms; images agree up to the two-pass
+    # interpolation differences
+    assert np.abs(yt - ye).mean() < 0.02
+    np.testing.assert_allclose(yt.mean(), ye.mean(), atol=0.02)
+    np.testing.assert_allclose(yt.std(), ye.std(), atol=0.05)
+
+
+def test_twopass_gradients_flow():
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    pipe = make_ada_pipe(geom_impl='twopass')
+
+    def loss(v):
+        return jnp.sum(jnp.square(pipe(key, v, jnp.float32(0.5))))
+
+    g = jax.grad(loss)(x)
+    assert g.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.abs(g).max()) > 0
