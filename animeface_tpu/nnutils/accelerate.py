@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from animeface_tpu.parallel import (
     make_mesh, data_sharding, replicated, shard_batch as _shard_batch,
-    replicate as _replicate, prefetch_to_device,
+    replicate as _replicate, prefetch_to_device, model_sharding,
 )
 
 
@@ -34,12 +34,16 @@ class Accelerator:
     '''
 
     def __init__(self, mesh_shape=(-1,), bf16: bool = True, devices=None,
-                 axis_names=None):
+                 axis_names=None, tp_min_features: int = 256):
         '''axis_names: override mesh axes, e.g. ('data', 'spatial') to shard
-        image H across devices in addition to the batch axis.'''
+        image H across devices in addition to the batch axis. A 2-entry
+        mesh_shape with default names is ('data', 'model'): params whose
+        output-feature dim is >= tp_min_features are tensor-parallelized
+        over the model axis (see parallel.model_sharding).'''
         self.mesh = make_mesh(mesh_shape, axis_names=axis_names,
                               devices=devices)
         self.bf16 = bf16
+        self.tp_min_features = tp_min_features
 
     @property
     def compute_dtype(self):
@@ -52,8 +56,12 @@ class Accelerator:
     # ---- state / data placement ----
 
     def prepare(self, *trees):
-        '''Replicate training state across the mesh (reference prepare).'''
-        out = tuple(_replicate(t, self.mesh) for t in trees)
+        '''Place training state across the mesh (reference prepare):
+        replicated under pure DP; with a >1 'model' axis, wide layers are
+        tensor-parallelized (parallel.model_sharding).'''
+        out = tuple(model_sharding(t, self.mesh,
+                                   min_features=self.tp_min_features)
+                    for t in trees)
         return out[0] if len(out) == 1 else out
 
     def shard_batch(self, batch):

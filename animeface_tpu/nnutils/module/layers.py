@@ -50,26 +50,36 @@ class MiniBatchStdDev(nn.Module):
     '''Append a cross-sample stddev statistic as an extra feature map.
 
     Reference `nnutils/module/layers.py:30` / `implementations/StyleGAN2/model.py:215`.
-    NHWC. Under data-parallel sharding the batch axis is global inside jit, so
-    groups of `group_size` samples match StyleGAN2-ADA per-group semantics as
-    long as batch shards keep group members together (group_size divides the
-    per-device batch in all shipped configs).
+    NHWC. Sharding choice (SURVEY §2.5, deliberate): `grouping='strided'`
+    (default) keeps the reference's torch `reshape(G, -1, ...)` semantics —
+    group m holds samples {m, m+N/G, ...} of the GLOBAL batch, which under a
+    sharded batch axis makes every group span all devices (GSPMD inserts a
+    gather). `grouping='contiguous'` groups adjacent samples {mG..mG+G-1}:
+    statistically identical, and communication-free whenever group_size
+    divides the per-device batch — prefer it for multi-chip runs.
     '''
     group_size: int = 4
     num_features: int = 1
     eps: float = 1e-8
+    grouping: str = 'strided'
 
     @nn.compact
     def __call__(self, x):
         N, H, W, C = x.shape
         G = min(self.group_size, N)
         F = self.num_features
-        # [G, N/G, H, W, F, C/F]
-        y = x.astype(jnp.float32).reshape(G, N // G, H, W, F, C // F)
-        y = y - jnp.mean(y, axis=0, keepdims=True)
-        y = jnp.sqrt(jnp.mean(y * y, axis=0) + self.eps)   # [N/G, H, W, F, C/F]
+        y = x.astype(jnp.float32)
+        if self.grouping == 'strided':
+            # [G, N/G, H, W, F, C/F]
+            y = y.reshape(G, N // G, H, W, F, C // F)
+            red_axis, rep = 0, lambda s: jnp.tile(s, (G, 1))
+        else:
+            y = y.reshape(N // G, G, H, W, F, C // F)
+            red_axis, rep = 1, lambda s: jnp.repeat(s, G, axis=0)
+        y = y - jnp.mean(y, axis=red_axis, keepdims=True)
+        y = jnp.sqrt(jnp.mean(y * y, axis=red_axis) + self.eps)  # [N/G,H,W,F,C/F]
         y = jnp.mean(y, axis=(1, 2, 4))                    # [N/G, F]
-        y = jnp.repeat(y, G, axis=0).astype(x.dtype)       # [N, F]
+        y = rep(y).astype(x.dtype)                         # [N, F]
         y = jnp.broadcast_to(y[:, None, None, :], (N, H, W, F))
         return jnp.concatenate([x, y], axis=-1)
 

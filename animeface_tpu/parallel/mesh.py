@@ -7,8 +7,12 @@ Multi-device", :5-16). Data parallelism over ICI is expressed as a
 batch axis is sharded, and XLA inserts the psum gradient reductions
 (replacing DDP/NCCL allreduce, SURVEY.md §2.5).
 
-An optional trailing 'model' axis is reserved for sharding the widest layers
-of >512px models; all shipped configs run pure DP.
+An optional trailing 'model' axis tensor-parallelizes the widest layers:
+`model_sharding` places the output-feature dim of large kernels over it
+(Megatron-style TP via GSPMD propagation — activations after a sharded-output
+conv carry a sharded C axis; the next contraction psums over ICI). Enable
+with `--mesh dp model`, e.g. `--mesh 4 2`. Shipped configs default to pure
+DP; TP pays at >512px widths where per-chip HBM or conv FLOPs bind.
 '''
 
 from __future__ import annotations
@@ -72,6 +76,38 @@ def replicate(tree, mesh: Mesh):
     '''Place a pytree replicated across the mesh.'''
     sh = replicated(mesh)
     return jax.tree_util.tree_map(partial(jax.device_put, device=sh), tree)
+
+
+def model_sharding(tree, mesh: Mesh, min_features: int = 256):
+    '''Tensor-parallel placement over the 'model' axis (Megatron-style).
+
+    Float leaves whose last dim is >= min_features and divisible by the
+    model-axis size shard that dim over MODEL_AXIS — conv HWIO kernels,
+    dense kernels, and their biases get output-feature sharding; optimizer
+    and EMA leaves (same shapes) shard identically via the same rule.
+    Everything else replicates. GSPMD propagates the rest: forward
+    activations carry a sharded channel axis, contractions over it insert
+    the psum, gradients mirror the placement.
+
+    Falls back to full replication when the mesh has no model axis (or it
+    has size 1), so callers can apply it unconditionally.
+    '''
+    if MODEL_AXIS not in mesh.axis_names or mesh.shape[MODEL_AXIS] == 1:
+        return replicate(tree, mesh)
+    m = mesh.shape[MODEL_AXIS]
+    repl = replicated(mesh)
+
+    def place(x):
+        shape = getattr(x, 'shape', ())
+        dtype = getattr(x, 'dtype', None)
+        if (len(shape) >= 1 and shape[-1] >= min_features
+                and shape[-1] % m == 0 and dtype is not None
+                and jax.numpy.issubdtype(dtype, jax.numpy.floating)):
+            spec = [None] * (len(shape) - 1) + [MODEL_AXIS]
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, tree)
 
 
 def prefetch_to_device(iterator: Iterable, mesh: Mesh, size: int = 2):
