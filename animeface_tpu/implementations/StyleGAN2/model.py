@@ -120,10 +120,16 @@ class ModulatedConv(nn.Module):
 
 class InjectNoise(nn.Module):
     '''Per-pixel noise shared across channels (reference InjectNoise :80;
-    the reference's scale parameter is dead code — noise is added unscaled).'''
+    the reference's scale parameter is dead code — noise is added unscaled).
+
+    Applying without a 'noise' rng collection is the deterministic mode
+    (identity): used by the golden weight-parity tests, where both
+    frameworks must synthesize noise-free.'''
 
     @nn.compact
     def __call__(self, x):
+        if not self.has_rng('noise'):
+            return x
         key = self.make_rng('noise')
         noise = jax.random.normal(key, x.shape[:3] + (1,), x.dtype)
         return x + noise
@@ -224,19 +230,39 @@ class PixelNorm(nn.Module):
 
 class MiniBatchStdDev(nn.Module):
     '''Cross-sample stddev feature (reference :215): NHWC, single stat channel,
-    whole batch as one group when batch is not divisible by group_size.'''
+    whole batch as one group when batch is not divisible by group_size.
+
+    Sharding choice (SURVEY §2.5, deliberate): `grouping` picks how samples
+    form groups under a data-parallel mesh.
+      * 'strided' (default, the reference's torch `reshape(G, -1, ...)`
+        semantics): group m = samples {m, m+N/G, ...} of the GLOBAL batch.
+        Exact single-device parity; under a sharded batch axis each group
+        spans all devices, so GSPMD materializes a cross-device gather on
+        the D hot path.
+      * 'contiguous': group m = samples {mG..mG+G-1}. Statistically identical
+        (sample order is random), and when the per-device batch divides by G
+        every group lives on one shard — zero collectives. Use for
+        multi-chip training (--mbsd-grouping contiguous).
+    '''
     group_size: int = 4
     eps: float = 1e-4
+    grouping: str = 'strided'
 
     @nn.compact
     def __call__(self, x):
         N, H, W, C = x.shape
         G = self.group_size if N % self.group_size == 0 else N
-        y = x.astype(jnp.float32).reshape(G, N // G, H, W, C)
-        y = y - jnp.mean(y, axis=0, keepdims=True)
-        y = jnp.sqrt(jnp.mean(y * y, axis=0) + self.eps)    # [N/G,H,W,C]
+        y = x.astype(jnp.float32)
+        if self.grouping == 'strided':
+            y = y.reshape(G, N // G, H, W, C)
+            red_axis, rep = 0, lambda s: jnp.tile(s, (G,))
+        else:
+            y = y.reshape(N // G, G, H, W, C)
+            red_axis, rep = 1, lambda s: jnp.repeat(s, G, axis=0)
+        y = y - jnp.mean(y, axis=red_axis, keepdims=True)
+        y = jnp.sqrt(jnp.mean(y * y, axis=red_axis) + self.eps)  # [N/G,H,W,C]
         y = jnp.mean(y, axis=(1, 2, 3))                     # [N/G]
-        y = jnp.tile(y, (G,))[:, None, None, None]          # [N,1,1,1]
+        y = rep(y)[:, None, None, None]                     # [N,1,1,1]
         y = jnp.broadcast_to(y, (N, H, W, 1)).astype(x.dtype)
         return jnp.concatenate([x, y], axis=-1)
 
@@ -279,6 +305,7 @@ class Synthesis(nn.Module):
     channels: int = 32
     max_channels: int = 512
     num_conv: int = 2
+    fused_resample: bool = True
     dtype: Any = jnp.float32
 
     @property
@@ -294,12 +321,15 @@ class Synthesis(nn.Module):
         x = ModulatedConv(ladder[0], 3, dtype=self.dtype, name='input')(
             x, styles[0])
         pre = ToImage(self.image_channels, upsample=True, dtype=self.dtype,
+                      fused_resample=self.fused_resample,
                       name='input_to_image')(x, styles[0])
         image = pre
         for i, ch in enumerate(ladder[1:]):
             last = (i == len(ladder) - 2)
-            x = StyleBlock(ch, self.num_conv, dtype=self.dtype)(x, styles[i + 1])
+            x = StyleBlock(ch, self.num_conv, dtype=self.dtype,
+                           fused_resample=self.fused_resample)(x, styles[i + 1])
             image = ToImage(self.image_channels, upsample=not last,
+                            fused_resample=self.fused_resample,
                             dtype=self.dtype)(x, styles[i + 1], pre)
             pre = image
         return jnp.tanh(image.astype(jnp.float32))
@@ -321,6 +351,9 @@ class Generator(nn.Module):
     map_num_layers: int = 8
     normalize_latent: bool = True
     map_lr: float = 0.01
+    # False = exact reference resampling (separate bilinear-up + blur passes)
+    # for golden weight parity; True = fused single-FIR (training default)
+    fused_resample: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -329,7 +362,7 @@ class Generator(nn.Module):
         self.synthesis = Synthesis(
             self.image_size, self.image_channels, self.style_dim,
             self.channels, self.max_channels, self.block_num_conv,
-            dtype=self.dtype)
+            fused_resample=self.fused_resample, dtype=self.dtype)
         self.const = self.param(
             'const', nn.initializers.normal(1.0),
             (1, 4, 4, self.style_dim))
@@ -397,6 +430,7 @@ class Discriminator(nn.Module):
     max_channels: int = 512
     block_num_conv: int = 2
     mbsd_groups: int = 4
+    mbsd_grouping: str = 'strided'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -411,7 +445,7 @@ class Discriminator(nn.Module):
             chans *= 2
             och = min(self.max_channels, chans)
             x = DBlock(och, self.block_num_conv, dtype=self.dtype)(x)
-        x = MiniBatchStdDev(self.mbsd_groups)(x)
+        x = MiniBatchStdDev(self.mbsd_groups, grouping=self.mbsd_grouping)(x)
         x = ELRConv(och, 3, dtype=self.dtype)(x)
         x = jax.nn.leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)

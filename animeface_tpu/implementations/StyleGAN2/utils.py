@@ -29,7 +29,8 @@ from animeface_tpu.nnutils import KeyGen, sample_nnoise, update_ema
 from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import NonSaturatingLoss, r1_regularizer
 from animeface_tpu.nnutils.diffaugment import diff_augment
-from animeface_tpu.nnutils.trainer import run_training, default_max_iters
+from animeface_tpu.nnutils.trainer import (
+    run_training, default_max_iters, host_step_counter)
 from animeface_tpu.dataset import build_loader
 
 
@@ -48,8 +49,23 @@ def pl_lengths(G, g_params, w, noise_rngs):
 
 
 def build_train_step(G, D, g_tx, d_tx, loss, policy, r1_lambda, pl_lambda,
-                     d_k, g_k, ema_decay, do_r1: bool, do_pl: bool):
-    '''One full iteration (D phase + G phase + EMA) as a pure function.'''
+                     d_k, g_k, ema_decay, do_r1: bool, do_pl: bool,
+                     augment_fn=None, ada_enabled: bool = False):
+    '''One full iteration (D phase + G phase + EMA) as a pure function.
+
+    `augment_fn(key, x, state) -> x_aug` lets StyleGAN2-ADA workloads plug
+    the AugmentPipe in (default: DiffAugment with `policy`). `ada_enabled`
+    threads the adaptive-p controller state (`state['ada']`) through the
+    step; p updates from the global-batch D(real) sign statistic on
+    adversarial iters (reference `implementations/ADA/utils.py:69`,
+    `nnutils/ada.py:26`). R1-only iters carry the controller unchanged —
+    under the reference's lazy-reg-replaces-loss semantics those iters
+    produce no adversarial D(real) logits.
+    '''
+
+    if augment_fn is None:
+        def augment_fn(key, x, state):
+            return diff_augment(key, x, policy)
 
     def train_step(state, real):
         rng, zkey_d, zkey_g, akey_r, akey_f, akey_g, nkey_d, nkey_g, mkey = \
@@ -66,7 +82,7 @@ def build_train_step(G, D, g_tx, d_tx, loss, policy, r1_lambda, pl_lambda,
             def d_loss_fn(d_params):
                 d_apply = lambda img: D.apply({'params': d_params}, img)
                 r1 = r1_regularizer(real, d_apply)
-                return r1 * r1_lambda * d_k
+                return r1 * r1_lambda * d_k, jnp.zeros((B, 1))
         else:
             def d_loss_fn(d_params):
                 # One stacked [2,B,...] vmapped D pass instead of two calls:
@@ -75,11 +91,12 @@ def build_train_step(G, D, g_tx, d_tx, loss, policy, r1_lambda, pl_lambda,
                 # still sees real and fake separately (exact two-call
                 # semantics; its strided groups must not mix the two).
                 both = jax.vmap(lambda k, img: D.apply(
-                    {'params': d_params}, diff_augment(k, img, policy)))(
+                    {'params': d_params}, augment_fn(k, img, state)))(
                     jnp.stack([akey_r, akey_f]), jnp.stack([real, fake]))
-                return loss.d_loss(both[0], both[1])
+                return loss.d_loss(both[0], both[1]), both[0]
 
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state['D'])
+        (d_loss, real_prob), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state['D'])
         d_up, d_opt = d_tx.update(d_grads, state['d_opt'], state['D'])
         d_params = optax.apply_updates(state['D'], d_up)
 
@@ -99,7 +116,7 @@ def build_train_step(G, D, g_tx, d_tx, loss, policy, r1_lambda, pl_lambda,
             def g_loss_fn(g_params):
                 fake, _ = G.apply({'params': g_params}, z,
                                   rngs={'noise': nkey_g, 'mixing': mkey})
-                fake_aug = diff_augment(akey_g, fake, policy)
+                fake_aug = augment_fn(akey_g, fake, state)
                 fake_prob = D.apply({'params': d_params}, fake_aug)
                 return loss.g_loss(fake_prob)
             g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state['G'])
@@ -111,11 +128,17 @@ def build_train_step(G, D, g_tx, d_tx, loss, policy, r1_lambda, pl_lambda,
         g_ema = update_ema(g_params, state['G_ema'], ema_decay)
 
         new_state = dict(
-            rng=rng, G=g_params, D=d_params, G_ema=g_ema,
+            state, rng=rng, G=g_params, D=d_params, G_ema=g_ema,
             g_opt=g_opt, d_opt=d_opt, pl_mean=pl_mean,
             step=state['step'] + 1,
         )
         metrics = dict(G=jnp.nan_to_num(g_loss), D=jnp.nan_to_num(d_loss))
+        if ada_enabled and not do_r1:
+            from animeface_tpu.nnutils.ada import ada_update_p
+            new_state['ada'] = ada_update_p(state['ada'], real_prob)
+            metrics['p'] = new_state['ada']['p']
+        elif ada_enabled:
+            metrics['p'] = state['ada']['p']
         return new_state, metrics
 
     return train_step
@@ -133,6 +156,7 @@ def build_models(args, compute_dtype):
         image_size=args.image_size, image_channels=args.image_channels,
         channels=args.channels, max_channels=args.max_channels,
         block_num_conv=args.block_num_conv, mbsd_groups=args.mbsd_groups,
+        mbsd_grouping=getattr(args, 'mbsd_grouping', 'strided'),
         dtype=compute_dtype)
     return G, D
 
@@ -181,11 +205,10 @@ def train(args, max_iters, loader, name='StyleGAN2', ema_decay=0.999):
             G, D, g_tx, d_tx, loss, args.policy, args.r1_lambda,
             args.pl_lambda, args.d_k, args.g_k, ema_decay, do_r1, do_pl)))
 
-    counter = {'i': 0}
+    next_index = host_step_counter()
 
     def train_step(state, batch):
-        i = counter['i']
-        counter['i'] += 1
+        i = next_index(state)
         do_r1 = bool(args.r1_lambda > 0 and i % args.d_k == 0 and i != 0)
         do_pl = bool(args.pl_lambda > 0 and i % args.g_k == 0 and i != 0)
         return step_builder(do_r1, do_pl)(state, batch)
@@ -217,6 +240,9 @@ STYLEGAN2_ARGS = dict(
     map_lr=[0.01, 'learning-rate multiplier for the mapping network'],
     disable_map_norm=[False, 'disable pixel norm in mapping network'],
     mbsd_groups=[4, 'groups for minibatch stddev'],
+    mbsd_grouping=['strided', 'minibatch-stddev grouping: strided (reference '
+                   'torch semantics, cross-device gather under dp) or '
+                   'contiguous (shard-local, no collective)'],
     lr=[0.001, 'learning rate'],
     beta1=[0., 'beta1'],
     beta2=[0.99, 'beta2'],
