@@ -213,3 +213,130 @@ def test_generate_cli_flows(tmp_path):
             os.remove(out)
     finally:
         sys.argv = old
+
+
+def test_host_step_counter_resumes_cadence():
+    '''Lazy-reg/ADA cadence must derive from the restored step (VERDICT r1
+    item 7): a counter created after --resume at step 17 continues 17, 18...
+    so `i % d_k` branches stay phase-aligned with the pre-restart run.'''
+    from animeface_tpu.nnutils.trainer import host_step_counter
+
+    fresh = host_step_counter()
+    state0 = {'step': jnp.int32(0)}
+    assert [fresh(state0) for _ in range(3)] == [0, 1, 2]
+
+    resumed = host_step_counter()
+    state17 = {'step': jnp.int32(17)}
+    assert [resumed(state17) for _ in range(3)] == [17, 18, 19]
+    # the d_k=16 R1 schedule: step 32 is a penalty iter again
+    idx = [resumed(state17) for _ in range(16)]
+    assert any(i % 16 == 0 for i in idx)
+
+    # states without a step field (non-standard recipes) start at 0
+    nostep = host_step_counter()
+    assert nostep({}) == 0
+
+
+def test_mbsd_grouping_under_mesh():
+    '''MinibatchStdDev sharding choice (SURVEY §2.5, VERDICT r1 item 8):
+    'strided' reproduces the reference torch semantics on the global batch
+    (numpy oracle) but gathers across devices; 'contiguous' is shard-local —
+    its compiled HLO must contain NO collectives when group_size divides the
+    per-device batch.'''
+    from animeface_tpu.implementations.StyleGAN2.model import MiniBatchStdDev
+
+    mesh = make_mesh((8,))
+    N, H, W, C, G = 32, 4, 4, 8, 4          # per-device batch 4, G=4
+    x_np = np.random.default_rng(0).normal(size=(N, H, W, C)).astype(np.float32)
+
+    def oracle(x, grouping):
+        if grouping == 'strided':
+            y = x.reshape(G, N // G, H, W, C)
+            y = y - y.mean(axis=0, keepdims=True)
+            y = np.sqrt((y * y).mean(axis=0) + 1e-4)
+            stat = y.mean(axis=(1, 2, 3))               # [N/G]
+            stat = np.tile(stat, G)                     # torch .repeat = tile
+        else:
+            y = x.reshape(N // G, G, H, W, C)
+            y = y - y.mean(axis=1, keepdims=True)
+            y = np.sqrt((y * y).mean(axis=1) + 1e-4)
+            stat = y.mean(axis=(1, 2, 3))
+            stat = np.repeat(stat, G)
+        return stat
+
+    for grouping in ('strided', 'contiguous'):
+        m = MiniBatchStdDev(group_size=G, grouping=grouping)
+        fn = jax.jit(lambda v: m.apply({}, v))
+        xs = shard_batch(jnp.asarray(x_np), mesh)
+        lowered = fn.lower(xs)
+        hlo = lowered.compile().as_text()
+        y = np.asarray(fn(xs))
+        np.testing.assert_allclose(y[:, 0, 0, -1], oracle(x_np, grouping),
+                                   rtol=1e-5, atol=1e-6, err_msg=grouping)
+        has_collective = any(op in hlo for op in
+                             ('all-gather', 'all-to-all', 'collective-permute',
+                              'all-reduce'))
+        if grouping == 'contiguous':
+            assert not has_collective, \
+                'contiguous mbsd must be communication-free under dp'
+
+
+def test_model_axis_tensor_parallel_matches_dp():
+    '''The 'model' mesh axis (VERDICT r1 item 10): a StyleGAN2 train step on
+    a (4, 2) dp x tp mesh — wide kernels output-feature-sharded via
+    model_sharding — must produce the same metrics as pure dp, and the
+    placement must actually shard something.'''
+    from animeface_tpu.utils import EasyDict
+    from animeface_tpu.nnutils import KeyGen
+    from animeface_tpu.nnutils.loss import NonSaturatingLoss
+    from animeface_tpu.implementations.StyleGAN2.utils import (
+        build_models, build_train_step, make_optimizers)
+    from animeface_tpu.parallel import MODEL_AXIS
+
+    args = EasyDict(
+        image_size=32, image_channels=3, style_dim=32, channels=8,
+        max_channels=32, block_num_conv=2, map_num_layers=2, map_lr=0.01,
+        disable_map_norm=False, mbsd_groups=2, lr=1e-3, beta1=0.0, beta2=0.99,
+        g_k=8, d_k=16, r1_lambda=10.0, pl_lambda=2.0, policy='color',
+    )
+
+    def run(accel):
+        keys = KeyGen(0)
+        G, D = build_models(args, accel.compute_dtype)
+        g_vars = G.init({'params': keys(), 'noise': keys(), 'mixing': keys()},
+                        jnp.zeros((1, args.style_dim)))
+        d_vars = D.init(keys(), jnp.zeros((1, 32, 32, 3)))
+        g_tx, d_tx = make_optimizers(args)
+        state = dict(
+            rng=keys(), G=g_vars['params'], D=d_vars['params'],
+            G_ema=jax.tree_util.tree_map(jnp.copy, g_vars['params']),
+            g_opt=g_tx.init(g_vars['params']), d_opt=d_tx.init(d_vars['params']),
+            pl_mean=jnp.float32(0.0), step=jnp.int32(0),
+        )
+        step = accel.jit_step(build_train_step(
+            G, D, g_tx, d_tx, NonSaturatingLoss(), args.policy, 10.0, 2.0,
+            16, 8, 0.999, do_r1=False, do_pl=False), donate_state=False)
+        state = accel.prepare(state)
+        batch = accel.shard_batch(
+            jax.random.normal(KeyGen(7)(), (8, 32, 32, 3)))
+        new_state, metrics = step(state, batch)
+        jax.block_until_ready(new_state)
+        return state, {k: float(v) for k, v in metrics.items()}
+
+    accel_dp = Accelerator(mesh_shape=(8,), bf16=False)
+    _, m_dp = run(accel_dp)
+
+    accel_tp = Accelerator(mesh_shape=(4, 2), bf16=False, tp_min_features=16)
+    assert MODEL_AXIS in accel_tp.mesh.axis_names
+    state_tp, m_tp = run(accel_tp)
+
+    # placement check: at least one kernel leaf is actually sharded on the
+    # model axis (not fully replicated)
+    sharded = [
+        leaf for leaf in jax.tree_util.tree_leaves(state_tp['G'])
+        if hasattr(leaf, 'sharding') and not leaf.sharding.is_fully_replicated
+    ]
+    assert sharded, 'tp mesh placed nothing on the model axis'
+
+    for k in m_dp:
+        assert abs(m_dp[k] - m_tp[k]) < 1e-3, (k, m_dp[k], m_tp[k])

@@ -154,3 +154,27 @@ def test_inception_architecture_and_converter(tmp_path):
 
     feats2 = model.apply(loaded, x)
     np.testing.assert_allclose(np.asarray(feats), np.asarray(feats2))
+
+
+def test_frechet_kid_match_canned_pytorch_fid_values():
+    '''Cross-check against the pytorch-fid / StyleGAN2-ADA formulas on a
+    COMMITTED feature set (VERDICT r1 item 4): tests/data/fid_canned_features
+    .npz stores two 512x64 feature sets plus the FID computed with
+    pytorch-fid's exact `calculate_frechet_distance` algorithm (scipy.sqrtm
+    of sigma1 @ sigma2) and the KID from a direct unbiased-MMD^2 cubic-kernel
+    evaluation. Our implementations must reproduce both on the same data.'''
+    import os
+    data = np.load(os.path.join(os.path.dirname(__file__), 'data',
+                                'fid_canned_features.npz'))
+    real, fake = data['real'], data['fake']
+
+    mu_r, s_r = gaussian_statistics(real)
+    mu_f, s_f = gaussian_statistics(fake)
+    got_fid = frechet_distance(mu_r, s_r, mu_f, s_f)
+    np.testing.assert_allclose(got_fid, float(data['expected_fid']),
+                               rtol=1e-8, atol=1e-6)
+
+    # deterministic KID: one subset spanning the whole set
+    got_kid = compute_kid(real, fake, num_subsets=1, subset_size=len(real))
+    np.testing.assert_allclose(got_kid, float(data['expected_kid']),
+                               rtol=1e-8, atol=1e-9)
