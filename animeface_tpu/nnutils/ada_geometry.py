@@ -249,39 +249,67 @@ def _line_pass(z, slope, shear, base, cols, out_len, half, support):
 
     z2 = _cyclic_double(z, axis=2)                             # [B, C, P, W]
 
-    # per-column integer cyclic shift (radix rolls)
+    # per-column integer cyclic shift amounts + fractional blend weights
     cols = jnp.asarray(np.asarray(cols, np.float32))
     shear_term = shear[:, None] * cols[None, :]                # [B, W]
     t = jnp.floor(shear_term)
-    f = (shear_term - t)[:, None, None, :]                     # frac, [B,1,1,W]
-    tint = jnp.mod(t.astype(jnp.int32), P)[:, None, None, :]   # [B,1,1,W]
+    frac = shear_term - t                                      # [B, W]
+    tint = jnp.mod(t.astype(jnp.int32), P)                     # [B, W]
+
+    # per-image kernel matrix at cyclic distance
+    o = jnp.arange(out_len, dtype=jnp.float32)
+    j = jnp.arange(P, dtype=jnp.float32)
+    q = slope[:, None] * o[None, :] + base[:, None]            # [B, out]
+    dlt = q[:, :, None] - j[None, None, :]
+    dlt = jnp.mod(dlt + P / 2.0, float(P)) - P / 2.0           # cyclic delta
+    # K is evaluated in f32 then cast to the compute dtype: integer-position
+    # taps are exactly 0/1 in any float dtype, so separable exactness holds;
+    # bf16 training pays ~2e-3 kernel rounding, accumulated in f32 (MXU).
+    M = eval_kernel(dlt, half, support)                        # [B, out, P]
+
+    if _use_fused_kernel(N, W):
+        from animeface_tpu.nnutils.ada_geometry_tpu import linepass_fused
+        Pp = -(-P // 8) * 8
+        Wp = -(-W // 128) * 128
+        z2p = jnp.pad(z2, ((0, 0), (0, 0), (0, Pp - P), (0, Wp - W)))
+        Mp = jnp.pad(M, ((0, 0), (0, 0), (0, Pp - P))).astype(z.dtype)
+        tp = jnp.pad(tint, ((0, 0), (0, Wp - W)))
+        fp = jnp.pad(frac, ((0, 0), (0, Wp - W))).astype(z.dtype)
+        interpret = jax.default_backend() != 'tpu'   # tests: interpret mode
+        out = linepass_fused(z2p, tp, fp, Mp, P, out_len, interpret)
+        return out[:, :, :, :W]
+
+    # dense jnp fallback (CPU / non-TPU backends): radix rolls + lerp +
+    # einsum — identical semantics to the fused kernel
+    tint4 = tint[:, None, None, :]
     bits = max(int(math.ceil(math.log2(P))), 1)
     for k in range(bits):
         step = 1 << k
         if step >= P:
             break
-        m = ((tint >> k) & 1).astype(bool)
+        m = ((tint4 >> k) & 1).astype(bool)
         z2 = jnp.where(m, jnp.roll(z2, -step, axis=2), z2)
 
     # fractional shear pre-blend (2-tap hat, cyclic neighbour).
     # Stays in the input dtype: exact whenever shear == 0 (f == 0) in ANY
     # dtype, so the separable-exactness claims hold for bf16 training too;
     # f32 callers (tests, CPU) keep full precision end to end.
-    f = f.astype(z.dtype)
+    f = frac.astype(z.dtype)[:, None, None, :]
     z2 = z2 * (1 - f) + jnp.roll(z2, -1, axis=2) * f
 
-    # per-image kernel matmul at cyclic distance
-    o = jnp.arange(out_len, dtype=jnp.float32)
-    j = jnp.arange(P, dtype=jnp.float32)
-    q = slope[:, None] * o[None, :] + base[:, None]            # [B, out]
-    d = q[:, :, None] - j[None, None, :]
-    d = jnp.mod(d + P / 2.0, float(P)) - P / 2.0               # cyclic delta
-    M = eval_kernel(d, half, support)                          # [B, out, P]
-    # K is evaluated in f32 then cast to the compute dtype: integer-position
-    # taps are exactly 0/1 in any float dtype, so separable exactness holds;
-    # bf16 training pays ~2e-3 kernel rounding, accumulated in f32 (MXU).
     return jnp.einsum('boj,bcjw->bcow', M.astype(z.dtype), z2,
                       preferred_element_type=jnp.float32).astype(z.dtype)
+
+
+def _use_fused_kernel(N, W):
+    '''Fused pallas line pass on real TPUs (overridable for tests via
+    ANIMEFACE_ADA_FUSED=0/1); the dense jnp path everywhere else.'''
+    import os
+    env = os.environ.get('ANIMEFACE_ADA_FUSED')
+    if env is not None:
+        return env not in ('0', 'false', 'off')
+    from animeface_tpu.nnutils.ada_geometry_tpu import available
+    return available()
 
 
 def twopass_warp(images, G_inv, half=None, support=None):

@@ -123,3 +123,31 @@ def test_twopass_gradients_flow():
     assert g.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_fused_pallas_linepass_matches_jnp(monkeypatch):
+    '''The fused pallas line pass (ada_geometry_tpu, interpret mode here)
+    must match the dense jnp formulation exactly — forward and gradient.'''
+    from animeface_tpu.nnutils.ada_geometry import twopass_warp
+
+    key = jax.random.PRNGKey(11)
+    x = jnp.clip(jax.image.resize(
+        jax.random.normal(key, (2, 8, 8, 3)), (2, 32, 32, 3), 'bilinear'),
+        -1, 1)
+    Gs = [rotate2d_inv(jnp.full((2,), 0.4)),
+          translate2d_inv(jnp.asarray([3.25, -1.6]), jnp.asarray([1.5, 0.5])),
+          scale2d_inv(jnp.asarray([1.3, 0.8]), jnp.asarray([0.7, 1.2]))]
+
+    monkeypatch.setenv('ANIMEFACE_ADA_FUSED', '0')
+    ref = [np.asarray(twopass_warp(x, G)) for G in Gs]
+    gref = np.asarray(jax.grad(
+        lambda v: jnp.sum(jnp.square(twopass_warp(v, Gs[0]))))(x))
+
+    monkeypatch.setenv('ANIMEFACE_ADA_FUSED', '1')
+    got = [np.asarray(twopass_warp(x, G)) for G in Gs]
+    ggot = np.asarray(jax.grad(
+        lambda v: jnp.sum(jnp.square(twopass_warp(v, Gs[0]))))(x))
+
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(r, g, atol=2e-6)
+    np.testing.assert_allclose(gref, ggot, atol=2e-5)
