@@ -175,8 +175,11 @@ def _dihedral_normalize(x, A, u):
     Returns (canvas', A', u') with det(A') > 0 and the polar angle of A'
     in [-45, 45]: sampling canvas' with (A', u') equals sampling x with
     (A, u). Canvas ops are chosen per image via dense selects.
+
+    Operates on the channel-major [B, C, H, W] layout: the rot90 transposes
+    and flips then see W (not C=3) in the lane dimension.
     '''
-    B, H, W, C = x.shape
+    B, C, H, W = x.shape
     assert H == W, 'two-pass geometry expects square images'
 
     det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
@@ -187,7 +190,7 @@ def _dihedral_normalize(x, A, u):
                    jnp.eye(2))
     A = Fs @ A
     u = jnp.einsum('bij,bj->bi', Fs, u)
-    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    x = jnp.where(flip[:, None, None, None], x[:, :, :, ::-1], x)
 
     # polar rotation angle of A (det > 0 now)
     theta = jnp.arctan2(A[:, 1, 0] - A[:, 0, 1], A[:, 0, 0] + A[:, 1, 1])
@@ -207,9 +210,9 @@ def _dihedral_normalize(x, A, u):
     # rotk(x) at R(-k*90)(p - ctr) + ctr; orientation fixed by the
     # rot90-parity test against the exact path.
     rots = jnp.stack([x,
-                      jnp.rot90(x, 1, axes=(1, 2)),
-                      jnp.rot90(x, 2, axes=(1, 2)),
-                      jnp.rot90(x, 3, axes=(1, 2))], axis=1)
+                      jnp.rot90(x, 1, axes=(2, 3)),
+                      jnp.rot90(x, 2, axes=(2, 3)),
+                      jnp.rot90(x, 3, axes=(2, 3))], axis=1)
     sel = (k[:, None, None, None, None] ==
            jnp.arange(4)[None, :, None, None, None])
     x = jnp.sum(jnp.where(sel, rots, 0.0), axis=1)
@@ -336,10 +339,10 @@ def twopass_warp(images, G_inv, half=None, support=None):
 
     A = G_inv[:, :2, :2].astype(jnp.float32)
     u = G_inv[:, :2, 2].astype(jnp.float32)
-    x, A, u = _dihedral_normalize(x, A, u)
 
     # channel-major layout: per-line ops see W (not C=3) in the lane dim
     x = jnp.transpose(x, (0, 3, 1, 2))                         # [B, C, H, W]
+    x, A, u = _dihedral_normalize(x, A, u)
 
     a = A[:, 0, 0]                                             # dx_in / dox
     b = A[:, 0, 1]

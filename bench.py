@@ -46,7 +46,7 @@ def main():
         build_models, build_train_step, make_optimizers,
     )
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     image_size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     d_k, g_k = 16, 8
