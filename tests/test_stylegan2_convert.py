@@ -132,3 +132,33 @@ def test_published_checkpoint_golden():
 
     save_image(got, os.path.join(os.path.dirname(path),
                                  'golden_grid_flax.png'), nrow=4)
+
+
+def test_golden_output_regression(tmp_path):
+    '''Pin the converted-generator synthesis to a COMMITTED golden tensor
+    (tests/data/sg2_golden.npz): fixed torch-seed weights, fixed z, noise
+    off. Any change to the modulated-conv factorization, resampling, or the
+    converter that alters output values fails this test — the synthetic-
+    weights stand-in for the published-checkpoint golden grid.'''
+    from tools.convert_stylegan2_weights import convert_generator
+
+    ref_mod = _ref_model_module()
+    torch.manual_seed(1234)
+    ref_g = ref_mod.Generator(**CFG_SMALL)
+    for p in ref_g.parameters():
+        p.data.normal_(0, 1.0)
+    ref_g.eval()
+    _disable_noise(ref_g, ref_mod)
+
+    params = convert_generator(ref_g.state_dict())
+    z = np.random.default_rng(7).normal(
+        size=(4, CFG_SMALL['style_dim'])).astype(np.float32)
+    img = _flax_forward(params, z, **CFG_SMALL)
+
+    golden_path = os.path.join(os.path.dirname(__file__), 'data',
+                               'sg2_golden.npz')
+    if not os.path.exists(golden_path):     # one-time generation, committed
+        np.savez_compressed(golden_path, img=img.astype(np.float16))
+        pytest.skip('golden generated — commit tests/data/sg2_golden.npz')
+    golden = np.load(golden_path)['img'].astype(np.float32)
+    np.testing.assert_allclose(img, golden, atol=2e-3)
