@@ -37,6 +37,11 @@ from animeface_tpu.dataset import build_loader
 def pl_lengths(G, g_params, w, noise_rngs):
     '''Path-length |J^T y| per sample: grad of sum(images * noise) wrt w
     (reference pl_penalty, utils.py:17-29).'''
+    # NOTE on remat: wrapping this in jax.checkpoint was measured to cost
+    # 2.7% amortized step throughput while freeing no usable batch headroom
+    # (batches must be multiples of 128 — XLA lane-pads the batch dim in
+    # the double-backward layouts, so the next step up from 128 is 256,
+    # far past HBM). Left un-rematted deliberately.
     def proj(w):
         images = G.apply({'params': g_params}, w, rngs=noise_rngs,
                          method=Generator.synthesize_from_w)
