@@ -199,6 +199,14 @@ class StyleLayer(nn.Module):
 
         s = self.affine(w)
         x = self.conv(x, s, input_gain)
+
+        # NOTE on remat: jax.checkpoint around this filtered_lrelu (the 2x-
+        # resolution intermediate is the layer's memory hog) was measured at
+        # 256px/batch-16: 1.25 it/s rematted vs 1.45 stored (-14%), and it
+        # does NOT unlock batch 32 — the plain step then fits but the R1
+        # step still exceeds HBM by ~112M. Left un-rematted; the reference
+        # CUDA kernel's sign-tensor trick addressed GPU memory the XLA
+        # liveness scheduler already manages here.
         x = filtered_lrelu(
             x, self.up_filter, self.down_filter,
             self.bias.astype(x.dtype), self.up_factor, self.down_factor,
