@@ -57,30 +57,32 @@ def _shift_rounds(plane, t, P, direction):
 
 
 def _fwd_kernel(tint_ref, frac_ref, m_ref, z_ref, out_ref, *, P):
-    plane = z_ref[0, 0, :P, :].astype(jnp.float32)
     t = tint_ref[0, 0, :]
-    plane = _shift_rounds(plane, t, P, direction=-1)
     f = frac_ref[0, 0, :][None, :].astype(jnp.float32)
-    plane = plane * (1.0 - f) + _roll_neg(plane, 1) * f
     M = m_ref[0, :, :P].astype(jnp.float32)
-    out_ref[0, 0] = jnp.dot(
-        M, plane, preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    for c in range(z_ref.shape[1]):        # all channels per grid step
+        plane = z_ref[0, c, :P, :].astype(jnp.float32)
+        plane = _shift_rounds(plane, t, P, direction=-1)
+        plane = plane * (1.0 - f) + _roll_neg(plane, 1) * f
+        out_ref[0, c] = jnp.dot(
+            M, plane, preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _bwd_kernel(tint_ref, frac_ref, m_ref, g_ref, out_ref, *, P, Pp):
-    g = g_ref[0, 0].astype(jnp.float32)                    # [out, W]
     M = m_ref[0, :, :P].astype(jnp.float32)                # [out, P]
-    d = jax.lax.dot_general(                               # M^T g: [P, W]
-        M, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
     f = frac_ref[0, 0, :][None, :].astype(jnp.float32)
-    d = d * (1.0 - f) + _roll_pos(d, 1) * f                # lerp transpose
     t = tint_ref[0, 0, :]
-    d = _shift_rounds(d, t, P, direction=+1)               # inverse shift
-    if Pp > P:
-        d = jnp.concatenate(
-            [d, jnp.zeros((Pp - P, d.shape[1]), d.dtype)], axis=0)
-    out_ref[0, 0] = d.astype(out_ref.dtype)
+    for c in range(g_ref.shape[1]):        # all channels per grid step
+        g = g_ref[0, c].astype(jnp.float32)                # [out, W]
+        d = jax.lax.dot_general(                           # M^T g: [P, W]
+            M, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = d * (1.0 - f) + _roll_pos(d, 1) * f            # lerp transpose
+        d = _shift_rounds(d, t, P, direction=+1)           # inverse shift
+        if Pp > P:
+            d = jnp.concatenate(
+                [d, jnp.zeros((Pp - P, d.shape[1]), d.dtype)], axis=0)
+        out_ref[0, c] = d.astype(out_ref.dtype)
 
 
 def _pad_up(n, m):
@@ -91,16 +93,16 @@ def _call(kernel, z2, tint, frac, M, out_len, interpret, P, Pp, extra={}):
     B, C, _, W = z2.shape
     return pl.pallas_call(
         functools.partial(kernel, P=P, **extra),
-        grid=(B, C),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, W), lambda b, c: (b, 0, 0)),   # tint [B,1,W]
-            pl.BlockSpec((1, 1, W), lambda b, c: (b, 0, 0)),   # frac [B,1,W]
-            pl.BlockSpec((1, out_len, Pp), lambda b, c: (b, 0, 0)),
-            pl.BlockSpec((1, 1, z2.shape[2], W), lambda b, c: (b, c, 0, 0)),
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0)),      # tint [B,1,W]
+            pl.BlockSpec((1, 1, W), lambda b: (b, 0, 0)),      # frac [B,1,W]
+            pl.BlockSpec((1, out_len, Pp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, C, z2.shape[2], W), lambda b: (b, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1,) + ((out_len, W) if kernel is _fwd_kernel else (Pp, W)),
-            lambda b, c: (b, c, 0, 0)),
+            (1, C) + ((out_len, W) if kernel is _fwd_kernel else (Pp, W)),
+            lambda b: (b, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (B, C) + ((out_len, W) if kernel is _fwd_kernel else (Pp, W)),
             z2.dtype),
