@@ -151,6 +151,7 @@ class StyleLayer(nn.Module):
     filter_size: int = 6
     conv_clamp: float = 256.0
     ema_decay: float = 0.999
+    flrelu_memory: str = 'pack'
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -200,17 +201,17 @@ class StyleLayer(nn.Module):
         s = self.affine(w)
         x = self.conv(x, s, input_gain)
 
-        # NOTE on remat: jax.checkpoint around this filtered_lrelu (the 2x-
-        # resolution intermediate is the layer's memory hog) was measured at
-        # 256px/batch-16: 1.25 it/s rematted vs 1.45 stored (-14%), and it
-        # does NOT unlock batch 32 — the plain step then fits but the R1
-        # step still exceeds HBM by ~112M. Left un-rematted; the reference
-        # CUDA kernel's sign-tensor trick addressed GPU memory the XLA
-        # liveness scheduler already manages here.
+        # memory='pack' stores a 2-bit gate code instead of the 2x-resolution
+        # activation for backward — the TPU translation of the reference CUDA
+        # kernel's bit-packed sign tensor (filtered_lrelu.py:199-226). Plain
+        # jax.checkpoint was measured at -14% throughput without unlocking
+        # batch 32; the packed residual is 8x smaller than the bf16
+        # intermediate and costs no recompute (see ops/filtered_lrelu.py).
         x = filtered_lrelu(
             x, self.up_filter, self.down_filter,
             self.bias.astype(x.dtype), self.up_factor, self.down_factor,
-            self.padding, self.gain, self.negative_slope, self.conv_clamp)
+            self.padding, self.gain, self.negative_slope, self.conv_clamp,
+            memory=self.flrelu_memory)
         return x
 
 
@@ -324,6 +325,7 @@ class Synthesis(nn.Module):
     first_stopband: float = 2 ** 2.1
     last_stopband_rel: float = 2 ** 0.3
     kernel_size: int = 3
+    flrelu_memory: str = 'pack'
     dtype: Any = jnp.float32
 
     @property
@@ -356,7 +358,8 @@ class Synthesis(nn.Module):
                 float(srates[prev]), float(srates[i]),
                 float(cutoffs[prev]), float(cutoffs[i]),
                 float(half_widths[prev]), float(half_widths[i]),
-                is_rgb, is_crit, dtype=self.dtype))
+                is_rgb, is_crit, flrelu_memory=self.flrelu_memory,
+                dtype=self.dtype))
         self.net = layers
 
     def __call__(self, w, train: bool = False):
@@ -383,6 +386,7 @@ class Generator(nn.Module):
     image_channels: int = 3
     output_scale: float = 0.25
     margin_size: int = 10
+    flrelu_memory: str = 'pack'
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -391,7 +395,8 @@ class Generator(nn.Module):
         self.synthesis = Synthesis(
             self.image_size, self.num_layers, self.channels,
             self.max_channels, self.style_dim, self.image_channels,
-            self.output_scale, self.margin_size, dtype=self.dtype)
+            self.output_scale, self.margin_size,
+            flrelu_memory=self.flrelu_memory, dtype=self.dtype)
 
     def __call__(self, z, truncation_psi: float = 1.0, train: bool = False):
         w = self.map(z, truncation_psi, train=train)

@@ -8,17 +8,26 @@ The 'xla' implementation is the documented composition
     bias_act(b) → upfirdn2d(fu, up, gain=up²) → bias_act(lrelu, gain, clamp)
     → upfirdn2d(fd, down)
 which XLA fuses aggressively (the lrelu epilogue folds into the up-conv).
-The CUDA kernel's advantage was *memory* — it kept only a bit-packed sign
-tensor for backward (filtered_lrelu.py:199-226). The TPU equivalent is
-rematerialisation: wrap in `jax.checkpoint` at the call site so backward
-recomputes the up-sampled intermediate instead of storing it; HBM traffic,
-not sign storage, is the scarce resource on TPU. A fully fused Pallas kernel
-is pluggable through the registry.
+
+The CUDA kernel's advantage was partly *memory* — it retained only a
+bit-packed sign tensor for backward instead of the up-sampled activation
+(reference filtered_lrelu.py:199-226, sign alloc filtered_lrelu.cpp:80-92).
+`memory='pack'` is the TPU-native translation: a `jax.custom_vjp` whose only
+residual is a 2-bit gate code per up-sampled element (positive / leaky /
+clamped-to-zero-grad), packed 4-per-uint8 along a flattened lane axis so the
+stored tensor is 8x smaller than the bf16 intermediate (16x vs f32) and keeps
+a wide trailing dim (TPU tiled layouts pad narrow lane dims). Backward applies
+the exact adjoints of the two FIR stages via `jax.linear_transpose` — same
+FLOPs as the stored-activation backward, none of the memory. This is what
+unlocks StyleGAN3 training at competitive batch sizes (the 2x-resolution
+intermediates dominate HBM). `memory='store'` keeps plain autodiff.
 
 NHWC layout.
 '''
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import jax
@@ -31,10 +40,126 @@ from animeface_tpu.ops.bias_act import bias_act
 from animeface_tpu.ops.registry import resolve_impl
 
 
+# ---------------------------------------------------------------------------
+# memory='pack': 2-bit gate residual custom_vjp
+# ---------------------------------------------------------------------------
+
+def _pack_gate_codes(codes):
+    '''uint8 codes in {0,1,2}, shape [N,H,W,C] -> [N,H,(W*Cp)//4] with 4 codes
+    per byte. Channel is padded to a multiple of 4; the flattened (W*C) lane
+    axis keeps the packed tensor's trailing dim wide (TPU tiled layouts pad
+    narrow lane dims, which would forfeit the packing).'''
+    N, H, W, C = codes.shape
+    pad = (-C) % 4
+    if pad:
+        codes = jnp.pad(codes, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    q = codes.reshape(N, H, (W * (C + pad)) // 4, 4).astype(jnp.uint8)
+    return (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4) | (q[..., 3] << 6))
+
+
+def _unpack_gate_codes(packed, shape):
+    '''Inverse of `_pack_gate_codes`; `shape` is the original [N,H,W,C].'''
+    N, H, W, C = shape
+    parts = [(packed >> (2 * j)) & jnp.uint8(3) for j in range(4)]
+    q = jnp.stack(parts, axis=-1)
+    cp = (q.shape[-2] * 4) // W
+    return q.reshape(N, H, W, cp)[..., :C]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_packed_flrelu(x_shape, x_dtype, b_dtype, fu_shape, fd_shape,
+                        up, down, padding, gain, slope, clamp, flip_filter):
+    '''Build (and cache per static configuration) the custom_vjp function.
+
+    All shape/config values are static Python values here, so the backward
+    can reconstruct every intermediate shape without storing it. The vjp's
+    residuals are ONLY the packed gate codes (+ the tiny 1-D filters, which
+    XLA aliases to the constants already in the graph).
+    '''
+    x_dtype = jnp.dtype(x_dtype)
+    b_dtype = jnp.dtype(b_dtype)
+
+    def _up_stage(v, fu):
+        return upfirdn2d(v, fu, up=up, padding=list(padding), gain=up ** 2,
+                         flip_filter=flip_filter, impl='xla')
+
+    def _down_stage(v, fd):
+        return upfirdn2d(v, fd, down=down, flip_filter=flip_filter, impl='xla')
+
+    # static shape of the up-sampled intermediate, for the transposes
+    z_shape = jax.eval_shape(
+        lambda v: _up_stage(v, jnp.zeros(fu_shape, jnp.float32)),
+        jax.ShapeDtypeStruct(x_shape, x_dtype)).shape
+
+    def _elementwise(z):
+        pos = z >= 0
+        e = jnp.where(pos, z, z * jnp.asarray(slope, z.dtype))
+        e = e * jnp.asarray(gain, z.dtype)
+        if clamp is not None:
+            live = jnp.abs(e) <= jnp.asarray(clamp, e.dtype)
+            y_e = jnp.clip(e, -clamp, clamp)
+            codes = jnp.where(live,
+                              jnp.where(pos, jnp.uint8(2), jnp.uint8(1)),
+                              jnp.uint8(0))
+        else:
+            y_e = e
+            codes = jnp.where(pos, jnp.uint8(2), jnp.uint8(1))
+        return y_e, codes
+
+    @jax.custom_vjp
+    def f(x, b, fu, fd):
+        z = _up_stage(x + b.reshape(1, 1, 1, -1).astype(x.dtype), fu)
+        y_e, _ = _elementwise(z)
+        return _down_stage(y_e, fd)
+
+    def f_fwd(x, b, fu, fd):
+        z = _up_stage(x + b.reshape(1, 1, 1, -1).astype(x.dtype), fu)
+        y_e, codes = _elementwise(z)
+        return _down_stage(y_e, fd), (_pack_gate_codes(codes), fu, fd)
+
+    def f_bwd(res, dy):
+        packed, fu, fd = res
+        dz_e, = jax.linear_transpose(
+            lambda v: _down_stage(v, fd),
+            jax.ShapeDtypeStruct(z_shape, x_dtype))(dy)
+        codes = _unpack_gate_codes(packed, z_shape)
+        mult = jnp.where(codes == 2, jnp.asarray(gain, dz_e.dtype),
+                         jnp.where(codes == 1,
+                                   jnp.asarray(gain * slope, dz_e.dtype),
+                                   jnp.asarray(0, dz_e.dtype)))
+        dz = dz_e * mult
+        dx, = jax.linear_transpose(
+            lambda v: _up_stage(v, fu),
+            jax.ShapeDtypeStruct(x_shape, x_dtype))(dz)
+        db = jnp.sum(dx.astype(jnp.float32), axis=(0, 1, 2)).astype(b_dtype)
+        # the designed FIR filters are module constants — zero cotangents
+        return dx, db, jnp.zeros(fu_shape, jnp.float32), jnp.zeros(fd_shape, jnp.float32)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _filtered_lrelu_packed(x, fu, fd, b, up, down, padding, gain, slope,
+                           clamp, flip_filter):
+    if b is None:
+        b = jnp.zeros((x.shape[-1],), x.dtype)
+    ones = jnp.ones((1,), jnp.float32)
+    fu_ = ones if fu is None else jnp.asarray(fu, jnp.float32)
+    fd_ = ones if fd is None else jnp.asarray(fd, jnp.float32)
+    fn = _make_packed_flrelu(
+        tuple(x.shape), jnp.dtype(x.dtype).name, jnp.dtype(b.dtype).name,
+        tuple(fu_.shape), tuple(fd_.shape),
+        int(up), int(down), tuple(int(p) for p in padding),
+        float(gain), float(slope),
+        None if clamp is None else float(clamp), bool(flip_filter))
+    return fn(x, b, fu_, fd_)
+
+
 @jax.named_scope('ops.filtered_lrelu')  # reference profiled_function seam (filtered_lrelu.py:114)
 def filtered_lrelu(x, fu=None, fd=None, b=None, up: int = 1, down: int = 1,
                    padding=0, gain: float = float(np.sqrt(2)), slope: float = 0.2,
-                   clamp=None, flip_filter: bool = False, impl: str | None = None):
+                   clamp=None, flip_filter: bool = False, impl: str | None = None,
+                   memory: str = 'store'):
     '''See module docstring; argument semantics match reference filtered_lrelu :50.'''
     assert x.ndim == 4, 'expected NHWC'
     fu_w, fu_h = _get_filter_size(fu)
@@ -50,6 +175,14 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up: int = 1, down: int = 1,
     N, H, W, C = x.shape
     out_w = (W * up + (px0 + px1) - (fu_w - 1) - (fd_w - 1) + (down - 1)) // down
     out_h = (H * up + (py0 + py1) - (fu_h - 1) - (fd_h - 1) + (down - 1)) // down
+
+    assert memory in ('store', 'pack'), memory
+    if memory == 'pack':
+        out = _filtered_lrelu_packed(x, fu, fd, b, up, down,
+                                     (px0, px1, py0, py1),
+                                     gain, slope, clamp, flip_filter)
+        assert out.shape == (N, out_h, out_w, C), (out.shape, (N, out_h, out_w, C))
+        return out
 
     impl = resolve_impl(impl)
     if impl == 'pallas':

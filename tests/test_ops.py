@@ -253,6 +253,64 @@ def test_filtered_lrelu_gradients(key):
     assert bool(jnp.all(jnp.isfinite(h)))
 
 
+def test_filtered_lrelu_packed_matches_store(key):
+    '''memory='pack' (2-bit gate residual custom_vjp, the TPU translation of
+    the reference sign tensor, filtered_lrelu.py:199-226 / .cpp:80-92) is
+    exact vs plain autodiff: forward, grads, and double-backward.'''
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (2, 8, 8, 6))
+    b = jax.random.normal(k2, (6,)) * 0.1
+    fu = setup_filter([1., 3., 3., 1.])
+    fd = setup_filter([1., 2., 1.])
+    kw = dict(up=2, down=2, padding=3, gain=np.sqrt(2), slope=0.2, clamp=0.5)
+
+    y0 = filtered_lrelu(x, fu, fd, b, **kw, memory='store')
+    y1 = filtered_lrelu(x, fu, fd, b, **kw, memory='pack')
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-7)
+
+    def loss(x, b, memory):
+        return jnp.sum(filtered_lrelu(x, fu, fd, b, **kw, memory=memory) ** 3)
+    g0 = jax.grad(loss, argnums=(0, 1))(x, b, 'store')
+    g1 = jax.grad(loss, argnums=(0, 1))(x, b, 'pack')
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]), atol=1e-6)
+
+    # double backward (the PL-penalty-through-G property StyleGAN3 needs)
+    def gnorm(x, memory):
+        return jnp.sum(jax.grad(loss, argnums=0)(x, b, memory) ** 2)
+    h0 = jax.grad(gnorm)(x, 'store')
+    h1 = jax.grad(gnorm)(x, 'pack')
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=1e-6)
+
+
+def test_filtered_lrelu_packed_residual_is_small(key):
+    '''The backward residual really is the packed uint8 tensor — 4 gate codes
+    per byte — not the up-sampled activation.'''
+    from animeface_tpu.ops.filtered_lrelu import _pack_gate_codes, _unpack_gate_codes
+    codes = jax.random.randint(key, (2, 6, 4, 10), 0, 3, dtype=jnp.int32)
+    codes = codes.astype(jnp.uint8)
+    packed = _pack_gate_codes(codes)
+    # 4x fewer bytes than one-byte-per-code (channel padded 10 -> 12)
+    assert packed.dtype == jnp.uint8 and packed.size == 2 * 6 * (4 * 12) // 4
+    got = _unpack_gate_codes(packed, (2, 6, 4, 10))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(codes))
+
+
+def test_filtered_lrelu_packed_rgb_and_nofilter_configs(key):
+    '''Degenerate configs (no filters, no bias, up=down=1, slope=1) used by
+    StyleGAN3's rgb layer take the packed path unchanged.'''
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    kw = dict(up=1, down=1, padding=0, gain=1.0, slope=1.0, clamp=0.3)
+    y0 = filtered_lrelu(x, None, None, None, **kw, memory='store')
+    y1 = filtered_lrelu(x, None, None, None, **kw, memory='pack')
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-7)
+    g0 = jax.grad(lambda x: jnp.sum(filtered_lrelu(x, None, None, None, **kw,
+                                                   memory='store') ** 2))(x)
+    g1 = jax.grad(lambda x: jnp.sum(filtered_lrelu(x, None, None, None, **kw,
+                                                   memory='pack') ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-6)
+
+
 # ---- conv2d_resample ----
 
 def test_conv2d_resample_plain_matches_lax(key):
