@@ -215,6 +215,50 @@ def test_biggan_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_biggan_deep_end_to_end(tmp_path):
+    '''--deep (GBlockDeep/DBlockDeep ladders, ref model.py:123,211,376,482)
+    with EMA enabled, exercising the deep input conv + channel-drop/concat
+    skips.'''
+    out = run_impl('BigGAN', tmp_path, iters=4, image_size=32, batch=8,
+                   extra_args=('--channels', '8', '--z-dim', '16', '--deep',
+                               '--ema'))
+    check_artifacts(out)
+
+
+def test_biggan_arch_tables_match_reference():
+    '''The generated ladders reproduce the reference's published tables
+    verbatim (GEN_ARCH :353, GEN_ARCH_DEEP :376, DIS_ARCH :458,
+    DIS_ARCH_DEEP :482).'''
+    from animeface_tpu.implementations.BigGAN.model import _arch
+
+    gen, dis = _arch(128, deep=False)
+    assert gen['inm'] == [16, 16, 8, 4, 2] and gen['out'] == [16, 8, 4, 2, 1]
+    assert gen['resl'] == [8, 16, 32, 64, 128] and gen['att'] == 64
+    assert dis['out'] == [2, 4, 8, 16, 16, 16]
+    assert dis['down'] == [True] * 5 + [False]
+    assert dis['resl'] == [64, 32, 16, 8, 4, 4] and dis['att'] == 64
+
+    gen, dis = _arch(128, deep=True)
+    assert gen['inm'] == [16, 16, 16, 16, 8, 8, 4, 4, 2, 2]
+    assert gen['out'] == [16, 16, 16, 8, 8, 4, 4, 2, 2, 1]
+    assert gen['up'] == [False, True] * 5
+    assert gen['resl'] == [4, 8, 8, 16, 16, 32, 32, 64, 64, 128]
+    assert dis['out'] == [1, 2, 2, 4, 4, 8, 8, 16, 16, 16, 16]
+    assert dis['down'] == [False, True] * 5 + [False]
+    assert dis['resl'] == [128, 64, 64, 32, 32, 16, 16, 8, 8, 4, 4]
+    assert dis['input_conv']
+
+    gen, dis = _arch(256, deep=True)
+    assert gen['inm'] == [16, 16, 16, 16, 8, 8, 8, 8, 4, 4, 2, 2]
+    assert gen['out'] == [16, 16, 16, 8, 8, 8, 8, 4, 4, 2, 2, 1]
+    assert dis['out'] == [1, 2, 2, 4, 4, 8, 8, 8, 8, 16, 16, 16, 16]
+
+    gen, dis = _arch(512, deep=True)
+    assert gen['out'] == [16, 16, 16, 8, 8, 8, 8, 4, 4, 2, 2, 1, 1, 1]
+    assert dis['out'] == [1, 1, 1, 2, 2, 4, 4, 8, 8, 8, 8, 16, 16, 16, 16]
+
+
+@pytest.mark.slow
 def test_pggan_end_to_end(tmp_path):
     # image_size 8 -> one growth cycle: 4px stab then 8px trans/stab phases
     out = run_impl('PGGAN', tmp_path, iters=0, image_size=8, batch=8,
@@ -251,10 +295,11 @@ def test_eigengan_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_transgan_end_to_end(tmp_path):
     out = run_impl('TransGAN', tmp_path, iters=4, image_size=16, batch=8,
-                   extra_args=('--latent-dim', '16', '--embed-dim', '64',
+                   extra_args=('--latent-dim', '16', '--g-embed-dim', '64',
+                               '--d-embed-dim', '64',
                                '--g-depths', '1', '1', '--bottom-width', '8',
                                '--d-depth', '1', '--patch-size', '4',
-                               '--gp-every', '2'))
+                               '--ema', '--ttur', '--gp-every', '2'))
     check_artifacts(out)
 
 
@@ -318,7 +363,9 @@ def test_hit_end_to_end(tmp_path):
                                '--num-heads', '4', '4', '4',
                                '--num-blocks', '1', '1', '1',
                                '--patch-sizes', '4',
-                               '--d-channels', '8', '--gp-every', '2'))
+                               '--channels', '8', '--ema',
+                               '--init-func', 'xavier',
+                               '--gp-lambda', '10', '--gp-every', '2'))
     check_artifacts(out)
 
 
@@ -479,8 +526,10 @@ def test_nafnet_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_restormer_end_to_end(tmp_path):
     out = run_impl('Restormer', tmp_path, iters=2, image_size=32, batch=8,
-                   extra_args=('--bottom', '8', '--g-channels', '8',
-                               '--blocks-per-scale', '1', '--mid-blocks', '1',
-                               '--num-heads', '2', '--d-channels', '8',
+                   extra_args=('--g-channels', '8',
+                               '--num-blocks', '1', '1', '1',
+                               '--num-heads', '1', '2', '2',
+                               '--num-refinement-blocks', '1',
+                               '--skip-input', '--d-channels', '8',
                                '--num-layers', '2', '--num-test', '2'))
     check_artifacts(out, iters=2)
