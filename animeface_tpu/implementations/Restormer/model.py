@@ -70,6 +70,7 @@ class MDTA(nn.Module):
 class Block(nn.Module):
     channels: int
     num_heads: int = 4
+    ff_expansion: float = 2.66
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -80,46 +81,68 @@ class Block(nn.Module):
         x = x + s1.astype(x.dtype) * MDTA(self.channels, self.num_heads,
                                           self.dtype)(h)
         h = nn.LayerNorm(dtype=self.dtype)(x)
-        return x + s2.astype(x.dtype) * GDFN(self.channels,
+        return x + s2.astype(x.dtype) * GDFN(self.channels, self.ff_expansion,
                                              dtype=self.dtype)(h)
 
 
 class Generator(nn.Module):
-    image_size: int = 128
-    bottom: int = 16
+    '''Restormer UNet (reference Generator :125-210): len(num_blocks) scales
+    with per-scale transformer depth/heads, pixel-unshuffle downs, decoder
+    with CONCAT skip + 1x1 reduce (no reduce at the outermost level, which
+    runs at 2*base width, ref :166-171), a refinement stage at that width,
+    and optional input->output skip (`skip_input`). Final tanh is a TPU-side
+    delta (bf16 range guard; the reference emits raw logits into LSGAN).'''
+    num_blocks: tuple = (2, 6, 6, 8)
+    num_heads: tuple = (1, 2, 4, 8)
+    num_refinement_blocks: int = 4
+    ff_expansion: float = 2.66
     channels: int = 48
-    blocks_per_scale: int = 2
-    mid_blocks: int = 4
-    num_heads: int = 4
+    skip_input: bool = False
     in_channels: int = 1
     out_channels: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        num = int(math.log2(self.image_size) - math.log2(self.bottom))
-        c = self.channels
-        x = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype)(
+        assert len(self.num_blocks) == len(self.num_heads)
+        skip = x.astype(jnp.float32)
+        base = c = self.channels
+        x = nn.Conv(c, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(
             x.astype(self.dtype))
         feats = []
-        for _ in range(num):
-            for _ in range(self.blocks_per_scale):
-                x = Block(c, self.num_heads, self.dtype)(x)
+        for nb, nh in zip(self.num_blocks[:-1], self.num_heads[:-1]):
+            for _ in range(nb):
+                x = Block(c, nh, self.ff_expansion, self.dtype)(x)
             feats.append(x)
             # downsample: conv C->C//2 then unshuffle (C//2*4 == 2C)
             x = nn.Conv(c // 2, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype)(x)
             x = pixel_unshuffle(x, 2)
             c *= 2
-        for _ in range(self.mid_blocks):
-            x = Block(c, self.num_heads, self.dtype)(x)
-        for _ in range(num):
+        for _ in range(self.num_blocks[-1]):
+            x = Block(c, self.num_heads[-1], self.ff_expansion, self.dtype)(x)
+        for nb, nh in zip(reversed(self.num_blocks[:-1]),
+                          reversed(self.num_heads[:-1])):
             x = nn.Conv(c * 2, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype)(x)
             x = pixel_shuffle(x, 2)
             c //= 2
-            x = x + feats.pop()
-            for _ in range(self.blocks_per_scale):
-                x = Block(c, self.num_heads, self.dtype)(x)
-        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(x)
-        return jnp.tanh(x.astype(jnp.float32))
+            x = jnp.concatenate([x, feats.pop()], axis=-1)
+            if c != base:            # ref :166: no reduce at the last level
+                x = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype)(x)
+                width = c
+            else:
+                width = 2 * c
+            for _ in range(nb):
+                x = Block(width, nh, self.ff_expansion, self.dtype)(x)
+        for _ in range(self.num_refinement_blocks):
+            x = Block(width, self.num_heads[0], self.ff_expansion,
+                      self.dtype)(x)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
+        if self.skip_input:
+            if skip.shape[-1] != x.shape[-1]:   # 1-ch line -> RGB broadcast
+                skip = jnp.repeat(skip, x.shape[-1] // skip.shape[-1], -1)
+            x = x + skip
+        return jnp.tanh(x)
