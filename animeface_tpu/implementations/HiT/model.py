@@ -203,22 +203,29 @@ class Generator(nn.Module):
 
 
 class Discriminator(nn.Module):
+    '''Flat-width ResBlock D (reference HiT model.py:404-435 — note the
+    reference's own width rule is `min(channels, max_channels)`, i.e. flat
+    at `channels` throughout; reproduced as-is).'''
     image_size: int = 128
     channels: int = 32
+    max_channels: int = 512
+    act_name: str = 'lrelu'
     bottom: int = 8
     mbsd_groups: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from animeface_tpu.nnutils.module.layers import get_activation
+        act = get_activation(self.act_name)
         num_downs = int(math.log2(self.image_size) - math.log2(self.bottom))
-        c = self.channels
+        c = min(self.channels, self.max_channels)
         x = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype)(
             x.astype(self.dtype))
-        x = jax.nn.leaky_relu(x, 0.2)
+        x = act(x)
         for _ in range(num_downs):
             h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype)(x)
-            h = jax.nn.leaky_relu(h, 0.2)
+            h = act(h)
             h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype)(h)
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             t = nn.Conv(c, (1, 1), dtype=self.dtype)(x)
@@ -226,8 +233,8 @@ class Discriminator(nn.Module):
             x = (h + t) / np.sqrt(2)
         x = MiniBatchStdDev(self.mbsd_groups)(x)
         x = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype)(x)
-        x = jax.nn.leaky_relu(x, 0.2)
+        x = act(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(c, dtype=self.dtype)(x)
-        x = jax.nn.leaky_relu(x, 0.2)
+        x = act(x)
         return nn.Dense(1, dtype=jnp.float32)(x.astype(jnp.float32))
