@@ -78,13 +78,23 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(partial(jax.device_put, device=sh), tree)
 
 
+#: path-component names eligible for output-feature sharding. Keying on the
+#: parameter-tree path (not just shape) keeps replicate-intended buffers —
+#: const inputs, moment EMAs, any future large state entry — off the model
+#: axis instead of silently paying GSPMD resharding collectives.
+_TP_PARAM_NAMES = ('kernel', 'bias', 'weight', 'scale', 'embedding')
+
+
 def model_sharding(tree, mesh: Mesh, min_features: int = 256):
     '''Tensor-parallel placement over the 'model' axis (Megatron-style).
 
-    Float leaves whose last dim is >= min_features and divisible by the
-    model-axis size shard that dim over MODEL_AXIS — conv HWIO kernels,
-    dense kernels, and their biases get output-feature sharding; optimizer
-    and EMA leaves (same shapes) shard identically via the same rule.
+    Leaves shard their last dim over MODEL_AXIS when BOTH hold:
+      * the leaf's tree path ends in a parameter-like name
+        (`_TP_PARAM_NAMES`: conv/dense kernels, biases, norm scales) —
+        optimizer and EMA trees mirror param names, so they follow the same
+        placement;
+      * the last dim is >= min_features, divisible by the model-axis size,
+        and floating-point.
     Everything else replicates. GSPMD propagates the rest: forward
     activations carry a sharded channel axis, contractions over it insert
     the psum, gradients mirror the placement.
@@ -97,17 +107,25 @@ def model_sharding(tree, mesh: Mesh, min_features: int = 256):
     m = mesh.shape[MODEL_AXIS]
     repl = replicated(mesh)
 
-    def place(x):
+    def leaf_name(path):
+        for entry in reversed(path):
+            name = getattr(entry, 'key', getattr(entry, 'name', None))
+            if isinstance(name, str):
+                return name
+        return ''
+
+    def place(path, x):
         shape = getattr(x, 'shape', ())
         dtype = getattr(x, 'dtype', None)
-        if (len(shape) >= 1 and shape[-1] >= min_features
+        if (leaf_name(path) in _TP_PARAM_NAMES
+                and len(shape) >= 1 and shape[-1] >= min_features
                 and shape[-1] % m == 0 and dtype is not None
                 and jax.numpy.issubdtype(dtype, jax.numpy.floating)):
             spec = [None] * (len(shape) - 1) + [MODEL_AXIS]
             return jax.device_put(x, NamedSharding(mesh, P(*spec)))
         return jax.device_put(x, repl)
 
-    return jax.tree_util.tree_map(place, tree)
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 def prefetch_to_device(iterator: Iterable, mesh: Mesh, size: int = 2):
