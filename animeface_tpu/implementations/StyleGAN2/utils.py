@@ -138,6 +138,11 @@ def build_train_step(G, D, g_tx, d_tx, loss, policy, r1_lambda, pl_lambda,
             step=state['step'] + 1,
         )
         metrics = dict(G=jnp.nan_to_num(g_loss), D=jnp.nan_to_num(d_loss))
+        # NOTE: ada_update_p is skipped on R1 iters (replace-loss lazy reg has
+        # no adversarial real_prob there), so the controller's interval counts
+        # only adversarial steps — the p-adaptation cadence stretches by
+        # d_k/(d_k-1) vs the reference ADA recipe, which updates p every step
+        # because its gp is ADDED, not substituted. Negligible at d_k=16.
         if ada_enabled and not do_r1:
             from animeface_tpu.nnutils.ada import ada_update_p
             new_state['ada'] = ada_update_p(state['ada'], real_prob)

@@ -84,6 +84,12 @@ def _load_npz_weights(path: str, layers: int):
     params = {}
     for block, n_convs in enumerate(_CFG[layers]):
         for i in range(n_convs):
+            for leaf in ('kernel', 'bias'):
+                if f'conv{block}_{i}/{leaf}' not in flat:
+                    raise ValueError(
+                        f'{path} is missing "conv{block}_{i}/{leaf}" — '
+                        f'truncated or not a VGG{layers} artifact; regenerate '
+                        'with tools/convert_vgg_weights.py')
             params[f'conv{block}_{i}'] = {
                 'kernel': jnp.asarray(flat[f'conv{block}_{i}/kernel']),
                 'bias': jnp.asarray(flat[f'conv{block}_{i}/bias']),
@@ -96,6 +102,9 @@ def gram_matrix(x):
     B, H, W, C = x.shape
     feat = x.reshape(B, H * W, C)
     return jnp.einsum('bnc,bnd->bcd', feat, feat) / (C * H * W)
+
+
+_ANNOUNCED: set = set()
 
 
 class VGGLoss(Loss):
@@ -125,13 +134,17 @@ class VGGLoss(Loss):
             self.variables = self.model.init(
                 jax.random.PRNGKey(20260816), jnp.zeros((1, 32, 32, 3)))
             self.provenance = 'RANDOM-INIT (fixed seed; NOT ImageNet features)'
-        # loud, unconditional provenance line in every training log: perceptual
+        # loud provenance line in the training log (once per provenance per
+        # process — per-eval construction must not spam stderr): perceptual
         # recipes trained on random features are a silent quality gap
-        print(f'[VGG{vgg} perceptual loss] weights: {self.provenance}'
-              + ('' if 'pretrained' in self.provenance else
-                 ' — convert real weights with tools/convert_vgg_weights.py '
-                 'and set ANIMEFACE_VGG_WEIGHTS for reference parity'),
-              file=sys.stderr, flush=True)
+        global _ANNOUNCED
+        if self.provenance not in _ANNOUNCED:
+            _ANNOUNCED.add(self.provenance)
+            print(f'[VGG{vgg} perceptual loss] weights: {self.provenance}'
+                  + ('' if 'pretrained' in self.provenance else
+                     ' — convert real weights with tools/convert_vgg_weights.py '
+                     'and set ANIMEFACE_VGG_WEIGHTS for reference parity'),
+                  file=sys.stderr, flush=True)
         # frozen: gradients never flow into the trunk
         self.variables = jax.tree_util.tree_map(jax.lax.stop_gradient,
                                                 self.variables)

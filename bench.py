@@ -50,7 +50,12 @@ def main():
     image_size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     d_k, g_k = 16, 8
+    requested = steps
     steps = max(d_k, (steps // d_k) * d_k)   # whole cadence cycles only
+    if steps != requested:
+        print(f'note: steps adjusted {requested} -> {steps} '
+              f'(whole {d_k}-step lazy-reg cadence cycles only)',
+              file=sys.stderr)
 
     args = EasyDict(
         image_size=image_size, image_channels=3, style_dim=512, channels=32,

@@ -111,6 +111,26 @@ def test_full_pipe_twopass_runs_and_matches_statistically():
     np.testing.assert_allclose(yt.std(), ye.std(), atol=0.05)
 
 
+def test_rotation_range_moment_parity(pipe, img):
+    '''Distribution-level pin for the Catmull-Smith skewed-separable
+    approximation (ada_geometry.py:30-38): sweep the FULL rotation range and
+    assert the warped images' first/second moments and mean absolute
+    deviation from the exact path stay tight at every angle — i.e. the
+    augmentation DISTRIBUTION is unchanged even where per-pixel parity is
+    only approximate (advisor round-2 ask).'''
+    B = img.shape[0]
+    exact = np.empty(0)
+    for deg in np.linspace(-180, 180, 13):
+        G = rotate2d_inv(jnp.full((B,), float(np.deg2rad(deg))))
+        ref = np.asarray(pipe._execute_geometry_exact(img, G))
+        got = np.asarray(twopass_warp(img, G))
+        assert np.abs(got - ref).mean() < 0.03, f'MAD blew up at {deg} deg'
+        np.testing.assert_allclose(got.mean(), ref.mean(), atol=0.01,
+                                   err_msg=f'mean drift at {deg} deg')
+        np.testing.assert_allclose(got.std(), ref.std(), atol=0.03,
+                                   err_msg=f'std drift at {deg} deg')
+
+
 def test_twopass_gradients_flow():
     key = jax.random.PRNGKey(5)
     x = jax.random.normal(key, (2, 32, 32, 3))
