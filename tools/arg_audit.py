@@ -1,0 +1,164 @@
+'''Arg-schema parity audit: diff every recipe's `add_args` names+defaults
+against the reference's (`/root/reference/implementations/*/utils.py`,
+original/{EDCNN,SEBigGAN} included), without executing either side — both
+are AST-parsed, so torch/jax imports never run.
+
+Reference `add_args` semantics (reference utils/argument.py:33-63): value is
+`[default]` or `[default, help]`; a bare type object (e.g. `str`) means a
+typed optional defaulting to None. The repo uses the same convention
+(`animeface_tpu/utils/argument.py:56`).
+
+Deliberate TPU-side deltas are declared in ALLOW (with reasons) — the audit
+fails on anything else. Run: `python tools/arg_audit.py` (exit 1 on drift);
+tested by tests/test_arg_schema.py.
+'''
+
+from __future__ import annotations
+
+import ast
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = os.environ.get('ANIMEFACE_REFERENCE', '/root/reference')
+
+#: recipe -> reference utils.py path fragment (default <name>/utils.py)
+REF_PATH = {
+    'EDCNN': 'original/EDCNN/utils.py',
+    'SEBigGAN': 'original/SEBigGAN/utils.py',
+}
+
+#: args the TPU port adds to EVERY recipe's schema deliberately
+GLOBAL_EXTRA = {
+    'gp_every': 'reference applies gp every step; TPU lazy-reg cadence knob',
+    'num_test': 'sample-grid size exposed where the reference hardcodes 16',
+    'mbsd_grouping': 'TPU cross-replica MBSD strategy (strided|contiguous)',
+}
+
+#: recipe -> {arg: reason} for deliberate per-recipe deltas.
+#: 'missing:<arg>' keys document reference args intentionally absent;
+#: 'extra:<arg>' keys document repo args with no reference counterpart;
+#: 'default:<arg>' keys document deliberate default changes.
+ALLOW = {
+    '*': {
+        # the reference's global parser flags that are CUDA/torch-specific
+        # and replaced by TPU equivalents in utils/argument.py
+        'missing:disable_gpu': 'no-GPU flag; TPU backend selection is --mesh',
+        'missing:disable_amp': 'bf16-on-TPU is --no-bf16',
+    },
+    'BigGAN': {
+        'extra:disable_sn': 'ablation switch kept from round 1',
+        'extra:disable_attention': 'ablation switch kept from round 1',
+        'extra:att_name': "reference Attention('ll') is unconstructable "
+                          '(xavier_ on 1-D norm scales raises); exposed '
+                          'here with standard norm init',
+        'missing:image_channels': 'RGB fixed (reference default 3)',
+    },
+    'Restormer': {
+        'default:g_norm_name': 'accepted for parity; model fixes ln',
+        'default:g_act_name': 'accepted for parity; model fixes gelu',
+        'missing:image_channels': 'RGB fixed (reference default 3)',
+        'missing:d_norm_name': 'D is the shared patch D; bn fixed',
+        'missing:d_act_name': 'D is the shared patch D; lrelu fixed',
+    },
+    'TransGAN': {
+        'default:g_norm_name': 'accepted for parity; model fixes ln',
+        'default:d_norm_name': 'accepted for parity; model fixes ln',
+    },
+}
+
+
+def _node_value(node):
+    '''AST node -> comparable value. Type objects -> ('type', name);
+    non-literal expressions -> ('expr', source-ish repr).'''
+    try:
+        return ast.literal_eval(node)
+    except (ValueError, TypeError, SyntaxError):
+        if isinstance(node, ast.Name):
+            return ('type', node.id)
+        return ('expr', ast.dump(node))
+
+
+def extract_add_args(path):
+    '''{arg_name: default} from every `add_args(parser, dict(...))` or
+    `add_args(parser, {...})` call in the file.'''
+    with open(path) as f:
+        tree = ast.parse(f.read(), path)
+    out = {}
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.Call)
+                and ((isinstance(node.func, ast.Name)
+                      and node.func.id == 'add_args')
+                     or (isinstance(node.func, ast.Attribute)
+                         and node.func.attr == 'add_args'))):
+            continue
+        for arg in node.args:
+            if isinstance(arg, ast.Call) and isinstance(arg.func, ast.Name) \
+                    and arg.func.id == 'dict':
+                for kw in arg.keywords:
+                    if kw.arg is not None:   # skip **expansion
+                        out[kw.arg] = _first_default(kw.value)
+            elif isinstance(arg, ast.Dict):
+                for k, v in zip(arg.keys, arg.values):
+                    if isinstance(k, ast.Constant):
+                        out[k.value] = _first_default(v)
+    return out
+
+
+def _first_default(value_node):
+    '''`[default, help?]` list node -> default value.'''
+    if isinstance(value_node, (ast.List, ast.Tuple)) and value_node.elts:
+        return _node_value(value_node.elts[0])
+    return _node_value(value_node)
+
+
+def audit(recipe):
+    '''-> list of drift strings (empty = parity modulo allowlist).'''
+    ref_frag = REF_PATH.get(recipe, f'{recipe}/utils.py')
+    ref_path = os.path.join(REF, 'implementations', ref_frag)
+    repo_path = os.path.join(REPO, 'animeface_tpu', 'implementations',
+                             recipe, 'utils.py')
+    if not os.path.exists(ref_path):
+        return [f'{recipe}: no reference utils at {ref_path}']
+    ref_args = extract_add_args(ref_path)
+    repo_args = extract_add_args(repo_path)
+    allowed = {**ALLOW.get('*', {}), **ALLOW.get(recipe, {})}
+
+    drift = []
+    for name, default in sorted(ref_args.items()):
+        if name not in repo_args:
+            if f'missing:{name}' not in allowed:
+                drift.append(f'{recipe}: reference arg --{name} '
+                             f'(default {default!r}) is missing')
+        elif repo_args[name] != default:
+            if f'default:{name}' not in allowed:
+                drift.append(f'{recipe}: --{name} default drifted: '
+                             f'reference {default!r} vs repo '
+                             f'{repo_args[name]!r}')
+    for name in sorted(set(repo_args) - set(ref_args)):
+        if name not in GLOBAL_EXTRA and f'extra:{name}' not in allowed:
+            drift.append(f'{recipe}: repo-only arg --{name} '
+                         f'(default {repo_args[name]!r}) is undeclared')
+    return drift
+
+
+def all_recipes():
+    root = os.path.join(REPO, 'animeface_tpu', 'implementations')
+    return sorted(d for d in os.listdir(root)
+                  if os.path.isfile(os.path.join(root, d, 'utils.py')))
+
+
+def main():
+    recipes = sys.argv[1:] or all_recipes()
+    total = []
+    for recipe in recipes:
+        total += audit(recipe)
+    for line in total:
+        print(line)
+    print(f'{len(total)} drift(s) across {len(recipes)} recipes',
+          file=sys.stderr)
+    return 1 if total else 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
