@@ -44,31 +44,70 @@ from animeface_tpu.ops.registry import resolve_impl
 # memory='pack': 2-bit gate residual custom_vjp
 # ---------------------------------------------------------------------------
 
-def _pack_gate_codes(codes):
-    '''uint8 codes in {0,1,2}, shape [N,H,W,C] -> [N,H,(W*Cp)//4] with 4 codes
-    per byte. Channel is padded to a multiple of 4; the flattened (W*C) lane
-    axis keeps the packed tensor's trailing dim wide (TPU tiled layouts pad
-    narrow lane dims, which would forfeit the packing).'''
+import os
+
+#: packing layout for the gate-code residual (trace-time static):
+#:   'int32'  16 codes/uint32 over a flattened (W*C) lane axis (default —
+#:            the TPU-native word; measured: uint8 shift/or at StyleGAN3-256
+#:            batch-32 shapes CRASHES the TPU compiler (remote compile helper
+#:            exit 1), while the same program with uint32 words compiles in
+#:            ~46 s; sub-word integer ops are emulated and fragile at scale)
+#:   'lanes'  4 codes/uint8 over the flattened lane axis
+#:   'chan'   4 codes/uint8 along the channel axis only (no big reshape;
+#:            also hits the uint8 compiler crash at batch 32)
+#:   'u8'     unpacked uint8 codes (2x smaller than bf16; no bit ops) —
+#:            diagnostic fallback
+_PACK_LAYOUT = os.environ.get('ANIMEFACE_PACK_LAYOUT', 'int32')
+
+
+def _pack_gate_codes(codes, layout=None):
+    '''uint8 codes in {0,1,2}, [N,H,W,C] -> packed per `layout`
+    (default `_PACK_LAYOUT`).'''
+    layout = layout or _PACK_LAYOUT
     N, H, W, C = codes.shape
-    pad = (-C) % 4
+    if layout == 'u8':
+        return codes.astype(jnp.uint8)
+    if layout == 'chan':
+        pad = (-C) % 4
+        if pad:
+            codes = jnp.pad(codes, ((0, 0),) * 3 + ((0, pad),))
+        q = codes.reshape(N, H, W, (C + pad) // 4, 4).astype(jnp.uint8)
+        return (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4)
+                | (q[..., 3] << 6))
+    k = 16 if layout == 'int32' else 4
+    dt = jnp.uint32 if layout == 'int32' else jnp.uint8
+    pad = (-C) % k
     if pad:
-        codes = jnp.pad(codes, ((0, 0), (0, 0), (0, 0), (0, pad)))
-    q = codes.reshape(N, H, (W * (C + pad)) // 4, 4).astype(jnp.uint8)
-    return (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4) | (q[..., 3] << 6))
+        codes = jnp.pad(codes, ((0, 0),) * 3 + ((0, pad),))
+    q = codes.reshape(N, H, (W * (C + pad)) // k, k).astype(dt)
+    out = q[..., 0]
+    for j in range(1, k):
+        out = out | (q[..., j] << (2 * j))
+    return out
 
 
-def _unpack_gate_codes(packed, shape):
+def _unpack_gate_codes(packed, shape, layout=None):
     '''Inverse of `_pack_gate_codes`; `shape` is the original [N,H,W,C].'''
+    layout = layout or _PACK_LAYOUT
     N, H, W, C = shape
-    parts = [(packed >> (2 * j)) & jnp.uint8(3) for j in range(4)]
+    if layout == 'u8':
+        return packed
+    if layout == 'chan':
+        parts = [(packed >> (2 * j)) & jnp.uint8(3) for j in range(4)]
+        q = jnp.stack(parts, axis=-1)
+        return q.reshape(N, H, W, q.shape[-2] * 4)[..., :C]
+    k = 16 if layout == 'int32' else 4
+    mask = jnp.uint32(3) if layout == 'int32' else jnp.uint8(3)
+    parts = [((packed >> (2 * j)) & mask).astype(jnp.uint8) for j in range(k)]
     q = jnp.stack(parts, axis=-1)
-    cp = (q.shape[-2] * 4) // W
+    cp = (q.shape[-2] * k) // W
     return q.reshape(N, H, W, cp)[..., :C]
 
 
 @functools.lru_cache(maxsize=None)
 def _make_packed_flrelu(x_shape, x_dtype, b_dtype, fu_shape, fd_shape,
-                        up, down, padding, gain, slope, clamp, flip_filter):
+                        up, down, padding, gain, slope, clamp, flip_filter,
+                        pack_layout):
     '''Build (and cache per static configuration) the custom_vjp function.
 
     All shape/config values are static Python values here, so the backward
@@ -115,14 +154,15 @@ def _make_packed_flrelu(x_shape, x_dtype, b_dtype, fu_shape, fd_shape,
     def f_fwd(x, b, fu, fd):
         z = _up_stage(x + b.reshape(1, 1, 1, -1).astype(x.dtype), fu)
         y_e, codes = _elementwise(z)
-        return _down_stage(y_e, fd), (_pack_gate_codes(codes), fu, fd)
+        return _down_stage(y_e, fd), (_pack_gate_codes(codes, pack_layout),
+                                      fu, fd)
 
     def f_bwd(res, dy):
         packed, fu, fd = res
         dz_e, = jax.linear_transpose(
             lambda v: _down_stage(v, fd),
             jax.ShapeDtypeStruct(z_shape, x_dtype))(dy)
-        codes = _unpack_gate_codes(packed, z_shape)
+        codes = _unpack_gate_codes(packed, z_shape, pack_layout)
         mult = jnp.where(codes == 2, jnp.asarray(gain, dz_e.dtype),
                          jnp.where(codes == 1,
                                    jnp.asarray(gain * slope, dz_e.dtype),
@@ -151,7 +191,8 @@ def _filtered_lrelu_packed(x, fu, fd, b, up, down, padding, gain, slope,
         tuple(fu_.shape), tuple(fd_.shape),
         int(up), int(down), tuple(int(p) for p in padding),
         float(gain), float(slope),
-        None if clamp is None else float(clamp), bool(flip_filter))
+        None if clamp is None else float(clamp), bool(flip_filter),
+        _PACK_LAYOUT)
     return fn(x, b, fu_, fd_)
 
 

@@ -283,16 +283,27 @@ def test_filtered_lrelu_packed_matches_store(key):
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=1e-6)
 
 
-def test_filtered_lrelu_packed_residual_is_small(key):
-    '''The backward residual really is the packed uint8 tensor — 4 gate codes
-    per byte — not the up-sampled activation.'''
-    from animeface_tpu.ops.filtered_lrelu import _pack_gate_codes, _unpack_gate_codes
+@pytest.mark.parametrize('layout', ['int32', 'lanes', 'chan', 'u8'])
+def test_filtered_lrelu_packed_residual_is_small(key, layout):
+    '''The backward residual really is the packed gate tensor, and every
+    layout round-trips exactly. Default 'int32' packs 16 codes per uint32
+    word (4x fewer bytes than one-byte-per-code; uint8 shift/or layouts
+    crash the TPU compiler at StyleGAN3-256 batch-32 shapes — see the
+    layout table in ops/filtered_lrelu.py).'''
+    from animeface_tpu.ops.filtered_lrelu import (
+        _pack_gate_codes, _unpack_gate_codes)
     codes = jax.random.randint(key, (2, 6, 4, 10), 0, 3, dtype=jnp.int32)
     codes = codes.astype(jnp.uint8)
-    packed = _pack_gate_codes(codes)
-    # 4x fewer bytes than one-byte-per-code (channel padded 10 -> 12)
-    assert packed.dtype == jnp.uint8 and packed.size == 2 * 6 * (4 * 12) // 4
-    got = _unpack_gate_codes(packed, (2, 6, 4, 10))
+    packed = _pack_gate_codes(codes, layout)
+    expected_bytes = {
+        # channel padded to the word width; 2 bits per code when bit-packed
+        'int32': 2 * 6 * (4 * 16) // 16 * 4,
+        'lanes': 2 * 6 * (4 * 12) // 4,
+        'chan': 2 * 6 * 4 * (12 // 4),
+        'u8': 2 * 6 * 4 * 10,
+    }[layout]
+    assert packed.size * packed.dtype.itemsize == expected_bytes
+    got = _unpack_gate_codes(packed, (2, 6, 4, 10), layout)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(codes))
 
 
