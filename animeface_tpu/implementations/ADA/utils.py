@@ -52,7 +52,7 @@ def train(args, max_iters, loader, name='ADA'):
             return jit_r1(state, batch)
         return jit_plain(state, batch)
 
-    const_z = sample_nnoise(keys(), (16, args.latent_dim))
+    const_z = sample_nnoise(keys(), (getattr(args, 'num_test', 16), args.latent_dim))
 
     @jax.jit
     def sample_fn(state):

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import optax
 
 from animeface_tpu.implementations.StyleGAN3.utils import (
-    STYLEGAN3_ARGS, build_models, init_state, make_optimizers,
+    STYLEGAN3_MODEL_ARGS, build_models, init_state, make_optimizers,
 )
 from animeface_tpu.utils import add_args, save_args
 from animeface_tpu.nnutils import KeyGen, sample_nnoise, update_ema
@@ -32,7 +32,7 @@ def apa_augment(key, real, fake, p):
 
 
 def build_train_step(G, D, g_tx, d_tx, loss, policy, gp_lambda, do_r1,
-                     ema_decay=0.999):
+                     ema_decay=0.999, disable_apa=False):
     def train_step(state, real):
         rng, zkey, ar, af, akey = jax.random.split(state['rng'], 5)
         B = real.shape[0]
@@ -45,7 +45,10 @@ def build_train_step(G, D, g_tx, d_tx, loss, policy, gp_lambda, do_r1,
         real_aug = diff_augment(ar, real, policy)
         fake_aug = diff_augment(af, fake_sg, policy)
         # deceive D: mix fakes into the real batch with prob p
-        real_aug_apa = apa_augment(akey, real_aug, fake_aug, state['ada']['p'])
+        # (--disable-apa trains the same loop without the swap, for
+        # comparison — reference model.py:101 `disable`)
+        real_aug_apa = real_aug if disable_apa else apa_augment(
+            akey, real_aug, fake_aug, state['ada']['p'])
 
         def d_loss_fn(d_params):
             real_prob = D.apply({'params': d_params}, real_aug_apa)
@@ -74,7 +77,8 @@ def build_train_step(G, D, g_tx, d_tx, loss, policy, gp_lambda, do_r1,
         g_up, g_opt = g_tx.update(g_grads, state['g_opt'], state['G'])
         g_params = optax.apply_updates(state['G'], g_up)
 
-        ada = ada_update_p(state['ada'], real_prob)   # lambda_r heuristic
+        ada = (state['ada'] if disable_apa
+               else ada_update_p(state['ada'], real_prob))  # lambda_r heuristic
         new_state = dict(
             state, rng=rng, G=g_params, D=d_params,
             G_moments=g_mut['moments'],
@@ -98,10 +102,13 @@ def train(args, max_iters, loader, name='APA'):
                                   args.apa_target_kimg, args.apa_threshold)
 
     loss = NonSaturatingLoss()
+    disable = getattr(args, 'disable_apa', False)
     jit_plain = accel.jit_step(build_train_step(
-        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, do_r1=False))
+        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, do_r1=False,
+        disable_apa=disable))
     jit_r1 = accel.jit_step(build_train_step(
-        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, do_r1=True))
+        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, do_r1=True,
+        disable_apa=disable))
     next_index = host_step_counter()
 
     def train_step(state, batch):
@@ -110,7 +117,8 @@ def train(args, max_iters, loader, name='APA'):
             return jit_r1(state, batch)
         return jit_plain(state, batch)
 
-    const_z = sample_nnoise(keys(), (16, args.latent_dim))
+    const_z = sample_nnoise(keys(), (getattr(args, 'num_test', 16),
+                                     args.latent_dim))
 
     @jax.jit
     def sample_fn(state):
@@ -127,11 +135,24 @@ def train(args, max_iters, loader, name='APA'):
 
 
 def main(parser):
+    # the reference APA recipe exposes only "minimal controllable arguments"
+    # (utils.py:113-129) and hardcodes the StyleGAN3 backbone defaults; we
+    # mirror that surface plus the shared backbone knobs (declared extras:
+    # the smokes shrink the model through them).
     parser = add_args(parser, dict(
-        **STYLEGAN3_ARGS,
-        apa_interval=[4, 'p update interval'],
-        apa_target_kimg=[500, 'target kimg for p ramp'],
-        apa_threshold=[0.6, 'sign(D(real)) threshold'],
+        **STYLEGAN3_MODEL_ARGS,
+        num_test=[16, 'number of images for eval'],
+        apa_interval=[4, 'interval to update p.'],
+        apa_target_kimg=[500, 'number of k images to expect apa probability '
+                              'to reach 1.'],
+        apa_threshold=[0.6, 'threshold to add or subtract from p.'],
+        disable_apa=[False, 'disable APA. For comparing results.'],
+        lr=[0.0025, 'learning rate'],
+        map_lr_scale=[0.01, 'scale learning rate for mapping network'],
+        betas=[[0., 0.99], 'betas'],
+        gp_lambda=[10., 'lambda for gradient penalty'],
+        gp_every=[16, 'calc gradient penalty every'],
+        policy=['color,translation', 'policy for diffaugment'],
     ))
     args = parser.parse_args()
     save_args(args)

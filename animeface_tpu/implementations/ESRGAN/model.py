@@ -23,21 +23,24 @@ class DenseBlock(nn.Module):
     num_conv: int = 5
     sn: bool = True
     act_name: str = 'lrelu'
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         feats = [x]
         h = MaybeSNConv(self.hid_channels, 3, sn=self.sn,
-                        dtype=self.dtype)(x, train)
+                        use_bias=self.use_bias, dtype=self.dtype)(x, train)
         h = _act(self.act_name)(h)
         for _ in range(self.num_conv - 2):
             feats.append(h)
-            h = MaybeSNConv(self.hid_channels, 3, sn=self.sn, dtype=self.dtype)(
+            h = MaybeSNConv(self.hid_channels, 3, sn=self.sn,
+                            use_bias=self.use_bias, dtype=self.dtype)(
                 jnp.concatenate(feats, axis=-1), train)
             h = _act(self.act_name)(h)
         feats.append(h)
-        return MaybeSNConv(self.channels, 3, sn=self.sn, dtype=self.dtype)(
+        return MaybeSNConv(self.channels, 3, sn=self.sn,
+                           use_bias=self.use_bias, dtype=self.dtype)(
             jnp.concatenate(feats, axis=-1), train)
 
 
@@ -49,6 +52,7 @@ class RRDB(nn.Module):
     num_conv: int = 5
     sn: bool = True
     act_name: str = 'lrelu'
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -56,7 +60,8 @@ class RRDB(nn.Module):
         h = x
         for _ in range(self.num_dense):
             d = DenseBlock(self.channels, self.hid_channels, self.num_conv,
-                           self.sn, self.act_name, self.dtype)(h, train)
+                           self.sn, self.act_name, self.use_bias,
+                           self.dtype)(h, train)
             h = (h + d) / np.sqrt(2)
         return (x + h) / np.sqrt(2)
 
@@ -66,31 +71,34 @@ class Generator(nn.Module):
     image_channels: int = 3
     channels: int = 64
     hid_channels: int = 32
-    num_rrdb: int = 15
+    num_rrdb: int = 7          # reference num_blocks default (utils.py:134)
     num_rd: int = 3
     num_conv: int = 5
     sn: bool = True
     act_name: str = 'lrelu'
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         num_ups = int(np.log2(self.scale))
-        x = MaybeSNConv(self.channels, 7, sn=self.sn, dtype=self.dtype)(
+        x = MaybeSNConv(self.channels, 7, sn=self.sn,
+                        use_bias=self.use_bias, dtype=self.dtype)(
             x.astype(self.dtype), train)
         t = x
         for _ in range(self.num_rrdb):
             x = RRDB(self.channels, self.hid_channels, self.num_rd,
-                     self.num_conv, self.sn, self.act_name,
+                     self.num_conv, self.sn, self.act_name, self.use_bias,
                      self.dtype)(x, train)
-        x = MaybeSNConv(self.channels, 3, sn=self.sn, dtype=self.dtype)(x, train)
+        x = MaybeSNConv(self.channels, 3, sn=self.sn,
+                        use_bias=self.use_bias, dtype=self.dtype)(x, train)
         x = (x + t) / np.sqrt(2)
         for _ in range(num_ups):
             N, H, W, C = x.shape
             x = jax.image.resize(x, (N, H * 2, W * 2, C), method='nearest')
             x = MaybeSNConv(self.channels, 3, sn=self.sn,
-                            dtype=self.dtype)(x, train)
+                            use_bias=self.use_bias, dtype=self.dtype)(x, train)
             x = _act(self.act_name)(x)
         x = MaybeSNConv(self.image_channels, 7, sn=self.sn,
-                        dtype=self.dtype)(x, train)
+                        use_bias=self.use_bias, dtype=self.dtype)(x, train)
         return jnp.tanh(x.astype(jnp.float32))

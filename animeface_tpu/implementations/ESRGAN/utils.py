@@ -9,7 +9,6 @@ import optax
 
 from animeface_tpu.implementations.ESRGAN.model import Generator
 from animeface_tpu.implementations.SRGAN.model import Discriminator
-from animeface_tpu.implementations.SRGAN.utils import SRGAN_ARGS
 from animeface_tpu.utils import add_args, save_args, make_image_grid
 from animeface_tpu.nnutils import KeyGen
 from animeface_tpu.nnutils.accelerate import Accelerator
@@ -75,12 +74,16 @@ def train(args, max_iters, loader, test_batch):
     accel = Accelerator(mesh_shape=tuple(args.mesh), bf16=not args.no_bf16)
     keys = KeyGen(args.seed)
 
-    G = Generator(scale=args.scale, image_channels=args.image_channels,
-                  channels=args.g_channels, hid_channels=args.hid_channels,
-                  num_rrdb=args.num_rrdb, sn=not args.disable_sn,
-                  dtype=accel.compute_dtype)
+    G = Generator(scale=int(args.scale), image_channels=args.image_channels,
+                  channels=args.g_channels, hid_channels=args.hidden_channels,
+                  num_rrdb=args.num_blocks, num_rd=args.num_rd,
+                  num_conv=args.num_conv, sn=not args.disable_sn,
+                  act_name=args.g_act_name,
+                  use_bias=not args.disable_bias, dtype=accel.compute_dtype)
     D = Discriminator(num_scale=args.num_scale, num_layers=args.num_layers,
                       channels=args.d_channels, sn=not args.disable_sn,
+                      act_name=args.d_act_name, norm_name=args.d_norm_name,
+                      use_bias=not args.disable_bias,
                       dtype=accel.compute_dtype)
 
     lr_size = int(args.image_size // args.scale)
@@ -126,13 +129,32 @@ def train(args, max_iters, loader, test_batch):
 
 
 def main(parser):
-    esrgan_args = dict(SRGAN_ARGS)
-    esrgan_args.pop('num_blocks')
-    esrgan_args.pop('g_act_name')
+    # names/defaults mirror reference ESRGAN/utils.py:123-145 (num_blocks
+    # counts RRDBs here, unlike SRGAN's plain residual blocks; g_norm_name
+    # default '' = no norm inside dense blocks, as the reference model has)
     parser = add_args(parser, dict(
-        **esrgan_args,
-        hid_channels=[32, 'hidden channels in dense blocks'],
-        num_rrdb=[15, 'number of RRDB blocks'],
+        num_test=[6, 'number of test data'],
+        scale=[2., 'upsample scale'],
+        disable_sn=[False, 'disable spectral norm'],
+        disable_bias=[False, 'disable bias'],
+        image_channels=[3, 'image channels'],
+        g_channels=[64, 'channel width multiplier'],
+        hidden_channels=[32, 'dense block output channel width'],
+        num_blocks=[7, 'number of residual blocks'],
+        num_rd=[3, 'number of residual dense block in one residual in '
+                   'residual dense block'],
+        num_conv=[5, 'number of conv layer in dense block'],
+        g_norm_name=['', 'normalization layer name (fixed: none in RRDB)'],
+        g_act_name=['lrelu', 'activation function name'],
+        num_scale=[2, 'number of scale'],
+        d_channels=[32, 'channel width multiplier'],
+        num_layers=[3, 'number of layers'],
+        d_norm_name=['in', 'normalization layer name'],
+        d_act_name=['lrelu', 'activation function name'],
+        lr=[0.0002, 'learning rate'],
+        betas=[[0.5, 0.999], 'betas'],
+        adv_lambda=[0.001, 'lambda for adversarial loss'],
+        vgg_lambda=[1., 'lambda for perceptual loss'],
     ))
     args = parser.parse_args()
     save_args(args)

@@ -56,6 +56,18 @@ def _act(name):
     raise Exception(f'act: {name}')
 
 
+def _norm(name, dtype, train=True):
+    '''reference get_normalization; '' means no norm (ESRGAN G).'''
+    if name == '':
+        return lambda x: x
+    if name == 'in':
+        return nn.GroupNorm(num_groups=None, group_size=1, dtype=dtype)
+    if name == 'bn':
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            dtype=dtype)
+    raise Exception(f'norm: {name}')
+
+
 def _inorm(dtype):
     return nn.GroupNorm(num_groups=None, group_size=1, dtype=dtype)
 
@@ -65,16 +77,20 @@ class ResBlock(nn.Module):
     channels: int
     sn: bool = True
     act_name: str = 'prelu'
+    norm_name: str = 'in'
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        h = _inorm(self.dtype)(x)
+        h = _norm(self.norm_name, self.dtype, train)(x)
         h = _act(self.act_name)(h)
-        h = MaybeSNConv(self.channels, 3, sn=self.sn, dtype=self.dtype)(h, train)
-        h = _inorm(self.dtype)(h)
+        h = MaybeSNConv(self.channels, 3, sn=self.sn, use_bias=self.use_bias,
+                        dtype=self.dtype)(h, train)
+        h = _norm(self.norm_name, self.dtype, train)(h)
         h = _act(self.act_name)(h)
-        h = MaybeSNConv(self.channels, 3, sn=self.sn, dtype=self.dtype)(h, train)
+        h = MaybeSNConv(self.channels, 3, sn=self.sn, use_bias=self.use_bias,
+                        dtype=self.dtype)(h, train)
         return x + h
 
 
@@ -85,29 +101,32 @@ class Generator(nn.Module):
     num_blocks: int = 5
     sn: bool = True
     act_name: str = 'prelu'
+    norm_name: str = 'in'
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         num_ups = int(np.log2(self.scale))
-        x = MaybeSNConv(self.channels, 7, sn=self.sn, dtype=self.dtype)(
-            x.astype(self.dtype), train)
+        x = MaybeSNConv(self.channels, 7, sn=self.sn, use_bias=self.use_bias,
+                        dtype=self.dtype)(x.astype(self.dtype), train)
         t = x
         for _ in range(self.num_blocks):
             x = ResBlock(self.channels, self.sn, self.act_name,
-                         self.dtype)(x, train)
-        x = _inorm(self.dtype)(x)
+                         self.norm_name, self.use_bias, self.dtype)(x, train)
+        x = _norm(self.norm_name, self.dtype, train)(x)
         x = _act(self.act_name)(x)
-        x = MaybeSNConv(self.channels, 3, sn=self.sn, dtype=self.dtype)(x, train)
+        x = MaybeSNConv(self.channels, 3, sn=self.sn, use_bias=self.use_bias,
+                        dtype=self.dtype)(x, train)
         x = x + t
         for _ in range(num_ups):
             x = _act(self.act_name)(x)
             x = MaybeSNConv(self.channels * 4, 3, sn=self.sn,
-                            dtype=self.dtype)(x, train)
+                            use_bias=self.use_bias, dtype=self.dtype)(x, train)
             x = pixel_shuffle(x, 2)
         x = _act(self.act_name)(x)
         x = MaybeSNConv(self.image_channels, 7, sn=self.sn,
-                        dtype=self.dtype)(x, train)
+                        use_bias=self.use_bias, dtype=self.dtype)(x, train)
         return jnp.tanh(x.astype(jnp.float32))
 
 
@@ -116,25 +135,27 @@ class SingleScaleDiscriminator(nn.Module):
     channels: int = 32
     sn: bool = True
     act_name: str = 'lrelu'
+    norm_name: str = 'in'
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         feats = []
         c = self.channels
-        x = MaybeSNConv(c, 4, 2, ((1, 1), (1, 1)), self.sn,
+        x = MaybeSNConv(c, 4, 2, ((1, 1), (1, 1)), self.sn, self.use_bias,
                         dtype=self.dtype)(x.astype(self.dtype), train)
         x = _act(self.act_name)(x)
         feats.append(x)
         for _ in range(self.num_layers):
             c *= 2
             x = MaybeSNConv(c, 4, 2, ((1, 1), (1, 1)), self.sn,
-                            dtype=self.dtype)(x, train)
-            x = _inorm(self.dtype)(x)
+                            self.use_bias, dtype=self.dtype)(x, train)
+            x = _norm(self.norm_name, self.dtype, train)(x)
             x = _act(self.act_name)(x)
             feats.append(x)
         logits = MaybeSNConv(1, 4, 1, ((1, 1), (1, 1)), self.sn,
-                             dtype=self.dtype)(x, train)
+                             self.use_bias, dtype=self.dtype)(x, train)
         return logits.astype(jnp.float32), feats
 
 
@@ -145,6 +166,8 @@ class Discriminator(nn.Module):
     channels: int = 32
     sn: bool = True
     act_name: str = 'lrelu'
+    norm_name: str = 'in'
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -153,6 +176,6 @@ class Discriminator(nn.Module):
         for _ in range(self.num_scale):
             outs.append(SingleScaleDiscriminator(
                 self.num_layers, self.channels, self.sn, self.act_name,
-                self.dtype)(x, train))
+                self.norm_name, self.use_bias, self.dtype)(x, train))
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         return outs

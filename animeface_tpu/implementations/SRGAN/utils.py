@@ -69,13 +69,17 @@ def train(args, max_iters, loader, test_batch, name='SRGAN'):
     accel = Accelerator(mesh_shape=tuple(args.mesh), bf16=not args.no_bf16)
     keys = KeyGen(args.seed)
 
+    use_bias = not getattr(args, 'disable_bias', False)
     G = Generator(scale=args.scale, image_channels=args.image_channels,
                   channels=args.g_channels, num_blocks=args.num_blocks,
                   sn=not args.disable_sn, act_name=args.g_act_name,
-                  dtype=accel.compute_dtype)
+                  norm_name=getattr(args, 'g_norm_name', 'in'),
+                  use_bias=use_bias, dtype=accel.compute_dtype)
     D = Discriminator(num_scale=args.num_scale, num_layers=args.num_layers,
                       channels=args.d_channels, sn=not args.disable_sn,
-                      act_name=args.d_act_name, dtype=accel.compute_dtype)
+                      act_name=args.d_act_name,
+                      norm_name=getattr(args, 'd_norm_name', 'in'),
+                      use_bias=use_bias, dtype=accel.compute_dtype)
 
     lr_size = int(args.image_size // args.scale)
     g_vars = G.init(keys(), jnp.zeros((1, lr_size, lr_size,
@@ -123,14 +127,17 @@ SRGAN_ARGS = dict(
     num_test=[6, 'number of samples used in eval'],
     scale=[2, 'upsample scale'],
     disable_sn=[False, 'disable spectral norm'],
+    disable_bias=[False, 'disable bias'],
     image_channels=[3, 'input image channels'],
     g_channels=[64, 'channel width multiplier for G'],
     num_blocks=[5, 'number of residual blocks in G'],
-    g_act_name=['prelu', 'activation for G'],
+    g_norm_name=['in', 'normalization layer name for G'],
+    g_act_name=['prelu', 'activation function name for G'],
     num_scale=[2, 'number of scales in D'],
     d_channels=[32, 'channel width multiplier for D'],
     num_layers=[3, 'number of layers in D'],
-    d_act_name=['lrelu', 'activation for D'],
+    d_norm_name=['in', 'normalization layer name for D'],
+    d_act_name=['prelu', 'activation function name for D'],
     lr=[0.0002, 'learning rate'],
     betas=[[0.5, 0.999], 'betas'],
     adv_lambda=[0.001, 'lambda for adversarial loss'],

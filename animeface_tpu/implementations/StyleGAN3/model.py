@@ -386,6 +386,10 @@ class Generator(nn.Module):
     image_channels: int = 3
     output_scale: float = 0.25
     margin_size: int = 10
+    first_cutoff: float = 2
+    first_stopband: float = 2 ** 2.1
+    last_stopband_rel: float = 2 ** 0.3
+    kernel_size: int = 3
     flrelu_memory: str = 'pack'
     dtype: Any = jnp.float32
 
@@ -395,7 +399,8 @@ class Generator(nn.Module):
         self.synthesis = Synthesis(
             self.image_size, self.num_layers, self.channels,
             self.max_channels, self.style_dim, self.image_channels,
-            self.output_scale, self.margin_size,
+            self.output_scale, self.margin_size, self.first_cutoff,
+            self.first_stopband, self.last_stopband_rel, self.kernel_size,
             flrelu_memory=self.flrelu_memory, dtype=self.dtype)
 
     def __call__(self, z, truncation_psi: float = 1.0, train: bool = False):

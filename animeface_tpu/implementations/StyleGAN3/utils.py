@@ -92,12 +92,19 @@ def build_models(args, compute_dtype):
         num_layers=args.num_layers, map_num_layers=args.map_num_layers,
         channels=args.channels, max_channels=args.max_channels,
         style_dim=args.style_dim, pixel_norm=not args.no_pixel_norm,
-        image_channels=args.image_channels, dtype=compute_dtype)
+        image_channels=args.image_channels,
+        output_scale=getattr(args, 'output_scale', 0.25),
+        margin_size=getattr(args, 'margin_size', 10),
+        first_cutoff=getattr(args, 'first_cutoff', 2.),
+        first_stopband=getattr(args, 'first_stopband', 2 ** 2.1),
+        last_stopband_rel=getattr(args, 'last_stopband_rel', 2 ** 0.3),
+        kernel_size=getattr(args, 'kernel_size', 3), dtype=compute_dtype)
     D = Discriminator(
         image_size=args.image_size, in_channels=args.image_channels,
         channels=args.d_channels, max_channels=args.d_max_channels,
         mbsd_group_size=args.mbsd_group_size,
         mbsd_channels=args.mbsd_channels, bottom=args.bottom,
+        filter_size=getattr(args, 'gaus_filter_size', 4),
         dtype=compute_dtype)
     return G, D
 
@@ -154,7 +161,7 @@ def train(args, max_iters, loader, name='StyleGAN3'):
             return jit_r1(state, batch)
         return jit_plain(state, batch)
 
-    const_z = sample_nnoise(keys(), (16, args.latent_dim))
+    const_z = sample_nnoise(keys(), (getattr(args, 'num_test', 16), args.latent_dim))
 
     @jax.jit
     def sample_fn(state):
@@ -170,7 +177,10 @@ def train(args, max_iters, loader, name='StyleGAN3'):
     )
 
 
-STYLEGAN3_ARGS = dict(
+#: backbone-only surface, shared with the ADA recipe (reference
+#: ADA/utils.py:93-131 exposes the same StyleGAN3 model knobs) and — as a
+#: declared TPU testability extra — the APA recipe.
+STYLEGAN3_MODEL_ARGS = dict(
     image_channels=[3, 'number of image channels'],
     latent_dim=[512, 'latent dimension'],
     style_dim=[512, 'style dimension'],
@@ -178,23 +188,38 @@ STYLEGAN3_ARGS = dict(
     map_num_layers=[2, 'number of layers in mapping network'],
     channels=[32, 'channel base'],
     max_channels=[512, 'maximum channel width'],
+    kernel_size=[3, 'kernel size. 3'],
     no_pixel_norm=[False, 'disable pixel norm on z'],
+    output_scale=[0.25, 'scale output tensor with'],
+    margin_size=[10, 'bigger size to work on'],
+    first_cutoff=[2., 'first cutoff'],
+    first_stopband=[2 ** 2.1, 'first stopband'],
+    last_stopband_rel=[2 ** 0.3, 'last relative stopband'],
     d_channels=[32, 'channel base for D'],
     d_max_channels=[512, 'maximum channels in D'],
     mbsd_group_size=[4, 'minibatch stddev group size'],
     mbsd_channels=[1, 'minibatch stddev channels'],
     bottom=[4, 'D bottom resolution'],
+    gaus_filter_size=[4, 'filter size in D'],
+)
+
+STYLEGAN3_ARGS = dict(
+    **STYLEGAN3_MODEL_ARGS,
+    num_test=[16, 'number of images for eval'],
     lr=[0.0025, 'learning rate'],
     map_lr_scale=[0.01, 'lr scale for the mapping network'],
     betas=[[0., 0.99], 'betas'],
     gp_lambda=[3., 'lambda for r1'],
     gp_every=[16, 'R1 every N iters'],
-    policy=['color,translation', 'policy for DiffAugment'],
+    logfile=[str, 'log file'],
 )
 
 
 def main(parser):
-    parser = add_args(parser, STYLEGAN3_ARGS)
+    parser = add_args(parser, dict(
+        **STYLEGAN3_ARGS,
+        policy=['color,translation', 'policy for DiffAugment'],
+    ))
     args = parser.parse_args()
     save_args(args)
 

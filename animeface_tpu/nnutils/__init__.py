@@ -20,6 +20,24 @@ from animeface_tpu.nnutils.training import (
 from animeface_tpu.nnutils.initialize import init, get_initializer, apply_init
 
 
+def apply_mutable(mod, params, extra, *args, **kwargs):
+    '''Train-mode `mod.apply` with whatever extra collections the module
+    carries (`extra`: e.g. batch_stats holding BN moments and flax
+    SpectralNorm power-iteration state). Returns (out, mutated_collections);
+    `mutated_collections` is {} when the module is stateless, so
+    `{'params': p, **mut}` round-trips either way.'''
+    if extra:
+        return mod.apply({'params': params, **extra}, *args,
+                         mutable=list(extra), **kwargs)
+    return mod.apply({'params': params}, *args, **kwargs), {}
+
+
+def split_vars(variables):
+    '''variables -> (params, extra-collections dict).'''
+    extra = {k: v for k, v in variables.items() if k != 'params'}
+    return variables['params'], extra
+
+
 def get_device(disable_gpu: bool = False):
     '''Default accelerator device (reference nnutils/__init__.py:18).'''
     if disable_gpu:

@@ -34,9 +34,17 @@ def get_activation(name: str, inplace: bool = True) -> Callable:
 
 
 def get_normalization(name: str, channels: int, **kwargs) -> nn.Module:
-    '''Name -> norm module over NHWC feature maps (reference layers.py:22).'''
+    '''Name -> norm module over NHWC feature maps (reference layers.py:22).
+
+    'in' is affine-free, matching torch `InstanceNorm2d(channels)`'s
+    `affine=False` default (the reference never passes affine); pass
+    `use_bias=True, use_scale=True` for an affine instance norm.
+    '''
     if name == 'in':
-        return nn.GroupNorm(num_groups=channels, use_bias=True, use_scale=True, **kwargs)
+        kwargs.setdefault('use_bias', False)
+        kwargs.setdefault('use_scale', False)
+        kwargs.setdefault('epsilon', 1e-5)
+        return nn.GroupNorm(num_groups=channels, **kwargs)
     if name == 'bn':
         return nn.BatchNorm(use_running_average=False, momentum=0.9, **kwargs)
     if name == 'ln':

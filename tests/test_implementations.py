@@ -186,7 +186,8 @@ def test_srgan_end_to_end(tmp_path):
 def test_esrgan_end_to_end(tmp_path):
     out = run_impl('ESRGAN', tmp_path, iters=4, image_size=32, batch=8,
                    extra_args=('--g-channels', '8', '--d-channels', '8',
-                               '--hid-channels', '4', '--num-rrdb', '2',
+                               '--hidden-channels', '4', '--num-blocks', '2',
+                               '--num-rd', '2', '--num-conv', '3',
                                '--num-layers', '2', '--num-test', '2'))
     check_artifacts(out)
 
@@ -201,9 +202,9 @@ def test_pix2pix_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_cyclegan_end_to_end(tmp_path):
     out = run_impl('CycleGAN', tmp_path, iters=4, image_size=32, batch=8,
-                   extra_args=('--g-channels', '8', '--g-max-channels', '16',
-                               '--d-channels', '8', '--num-blocks', '2',
-                               '--num-test', '2'))
+                   extra_args=('--channels', '8', '--max-channels', '16',
+                               '--downsample-to', '16', '--num-blocks', '2',
+                               '--test-images', '2'))
     check_artifacts(out)
 
 
@@ -386,9 +387,10 @@ def test_pix2pixhd_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_spade_end_to_end(tmp_path):
     out = run_impl('SPADE', tmp_path, iters=4, image_size=64, batch=8,
-                   extra_args=('--channels', '8', '--d-channels', '8',
-                               '--e-channels', '8', '--z-dim', '16',
-                               '--num-test', '2'))
+                   extra_args=('--channels', '8', '--max-channels', '32',
+                               '--spade-hidden-channels', '16',
+                               '--z-dim', '16', '--ttur',
+                               '--test-images', '2'))
     check_artifacts(out)
 
 
@@ -483,10 +485,13 @@ def test_hisd_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_peingan_end_to_end(tmp_path):
     out = run_impl('PEinGAN', tmp_path, iters=4, image_size=32, batch=8,
-                   extra_args=('--channels', '8', '--max-channels', '32',
+                   extra_args=('--g-channels', '8', '--g-max-channels', '32',
+                               '--d-channels', '8', '--d-max-channels', '32',
+                               '--in-channels', '32', '--latent-dim', '32',
                                '--style-dim', '32', '--map-num-layers', '2',
-                               '--embed-dim', '16', '--gp-every', '2',
-                               '--scales', '1.0', '--scale-probs', '1.0'))
+                               '--embed-dim', '16', '--d-k', '2',
+                               '--scales', '1.0', '1.5',
+                               '--scale-probs', '0.7', '0.3'))
     check_artifacts(out)
 
 

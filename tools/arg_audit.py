@@ -46,6 +46,18 @@ ALLOW = {
         'missing:disable_gpu': 'no-GPU flag; TPU backend selection is --mesh',
         'missing:disable_amp': 'bf16-on-TPU is --no-bf16',
     },
+    'APA': {
+        'extras_note': 'the StyleGAN3 backbone knobs (STYLEGAN3_MODEL_ARGS) '
+                       'are exposed so smokes can shrink the model; the '
+                       'reference hardcodes the backbone defaults',
+        **{f'extra:{k}': 'backbone knob (see extras_note)' for k in (
+            'image_channels', 'style_dim', 'num_layers', 'map_num_layers',
+            'channels', 'max_channels', 'kernel_size', 'no_pixel_norm',
+            'output_scale', 'margin_size', 'first_cutoff', 'first_stopband',
+            'last_stopband_rel', 'd_channels', 'd_max_channels',
+            'mbsd_group_size', 'mbsd_channels', 'bottom',
+            'gaus_filter_size')},
+    },
     'BigGAN': {
         'extra:disable_sn': 'ablation switch kept from round 1',
         'extra:disable_attention': 'ablation switch kept from round 1',
@@ -79,9 +91,49 @@ def _node_value(node):
         return ('expr', ast.dump(node))
 
 
+def _shared_dicts():
+    '''Registry of module-level `NAME = dict(...)` arg tables across all
+    repo recipe utils (e.g. STYLEGAN3_ARGS), for `**NAME` expansion.'''
+    registry = {}
+    root = os.path.join(REPO, 'animeface_tpu', 'implementations')
+    for d in os.listdir(root):
+        path = os.path.join(root, d, 'utils.py')
+        if not os.path.isfile(path):
+            continue
+        with open(path) as f:
+            tree = ast.parse(f.read(), path)
+        for node in ast.walk(tree):
+            if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                    and isinstance(node.targets[0], ast.Name)
+                    and isinstance(node.value, ast.Call)
+                    and isinstance(node.value.func, ast.Name)
+                    and node.value.func.id == 'dict'):
+                registry[node.targets[0].id] = node.value
+    # resolve nested **NAME references (e.g. STYLEGAN3_ARGS spreads
+    # STYLEGAN3_MODEL_ARGS) to fixpoint
+    resolved = {}
+    for _ in range(3):
+        for name, call in registry.items():
+            entry = {}
+            for kw in call.keywords:
+                if kw.arg is not None:
+                    entry[kw.arg] = _first_default(kw.value)
+                elif isinstance(kw.value, ast.Name):
+                    entry.update(resolved.get(kw.value.id, {}))
+            resolved[name] = entry
+    return resolved
+
+
+_SHARED = None
+
+
 def extract_add_args(path):
     '''{arg_name: default} from every `add_args(parser, dict(...))` or
-    `add_args(parser, {...})` call in the file.'''
+    `add_args(parser, {...})` call in the file. `**NAME` entries expand
+    from the module-level shared-table registry.'''
+    global _SHARED
+    if _SHARED is None:
+        _SHARED = _shared_dicts()
     with open(path) as f:
         tree = ast.parse(f.read(), path)
     out = {}
@@ -93,11 +145,15 @@ def extract_add_args(path):
                          and node.func.attr == 'add_args'))):
             continue
         for arg in node.args:
-            if isinstance(arg, ast.Call) and isinstance(arg.func, ast.Name) \
+            if isinstance(arg, ast.Name):   # add_args(parser, SHARED_ARGS)
+                out.update(_SHARED.get(arg.id, {}))
+            elif isinstance(arg, ast.Call) and isinstance(arg.func, ast.Name) \
                     and arg.func.id == 'dict':
                 for kw in arg.keywords:
-                    if kw.arg is not None:   # skip **expansion
+                    if kw.arg is not None:
                         out[kw.arg] = _first_default(kw.value)
+                    elif isinstance(kw.value, ast.Name):   # **SHARED_ARGS
+                        out.update(_SHARED.get(kw.value.id, {}))
             elif isinstance(arg, ast.Dict):
                 for k, v in zip(arg.keys, arg.values):
                     if isinstance(k, ast.Constant):
