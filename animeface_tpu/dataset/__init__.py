@@ -15,21 +15,22 @@ from collections.abc import Iterable
 
 from animeface_tpu.dataset._base import (
     WrappedDataset, DataLoader, make_default_transform, set_data_root,
-    data_path, Image, ImageImage, ImageXDoG, ImageLabel, ImageOnehot, LRHR,
+    data_path, Image, ImageImage, ImageXDoG, ImageGray, ImageLabel,
+    ImageOnehot, LRHR,
 )
 from animeface_tpu.dataset.animeface import (
-    AnimeFace, AnimeFaceCelebA, AnimeFaceSR, AnimeFaceXDoG,
+    AnimeFace, AnimeFaceCelebA, AnimeFaceSR, AnimeFaceXDoG, AnimeFaceGray,
     AnimeFaceLabel, AnimeFaceOneHot,
 )
 from animeface_tpu.dataset.portrait import (
     DanbooruPortrait, DanbooruPortraitCelebA, DanbooruPortraitSR,
-    DanbooruPortraitXDoG,
+    DanbooruPortraitXDoG, DanbooruPortraitGray,
 )
 from animeface_tpu.dataset.danbooru import Danbooru, DanbooruSR, DanbooruAutoPair
 from animeface_tpu.dataset.aahq import AAHQ, AAHQSR, AAHQCelebA
 from animeface_tpu.dataset.synthetic import (
     SyntheticImage, SyntheticImageImage, SyntheticLRHR, SyntheticImageXDoG,
-    SyntheticImageLabel, SyntheticImageOnehot,
+    SyntheticImageGray, SyntheticImageLabel, SyntheticImageOnehot,
 )
 
 
@@ -90,6 +91,12 @@ _REGISTRY = {
                                dict(image_size=a.image_size,
                                     num_images=a.num_images)),
     },
+    'gray': {
+        'animeface': lambda a: (AnimeFaceGray, dict(image_size=a.image_size)),
+        'danbooru': lambda a: (DanbooruPortraitGray,
+                               dict(image_size=a.image_size,
+                                    num_images=a.num_images)),
+    },
     'label': {
         'animeface': lambda a: (AnimeFaceLabel, dict(image_size=a.image_size)),
     },
@@ -104,6 +111,7 @@ _SYNTHETIC = {
     'sr': lambda a: SyntheticLRHR(a.image_size, getattr(a, 'scale', 2),
                                   _syn_count(a), a.seed),
     'xdog': lambda a: SyntheticImageXDoG(a.image_size, _syn_count(a), a.seed),
+    'gray': lambda a: SyntheticImageGray(a.image_size, _syn_count(a), a.seed),
     'label': lambda a: SyntheticImageLabel(a.image_size, _syn_count(a), seed=a.seed),
     'onehot': lambda a: SyntheticImageOnehot(a.image_size, _syn_count(a), seed=a.seed),
 }

@@ -350,6 +350,35 @@ class ImageXDoG(WrappedDataset):
         return len(self.images)
 
 
+class ImageGray(WrappedDataset):
+    '''RGB + on-the-fly grayscale pairs (reference
+    `implementations/original/EDCNN/dataset.py:14` _ImageGrayOTF): gray is
+    the ITU-R 601 luminance of the un-jittered crop; the rgb target gets a
+    random hue shift of +-0.1 turns (TF.adjust_hue((rand-0.5)/5)).'''
+
+    _LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)
+
+    def __init__(self, transform: Callable) -> None:
+        self.images = self._load()
+        self.transform = transform
+
+    def __getitem__(self, index):
+        image = pilImage.open(self.images[index]).convert('RGB')
+        gray = (self.transform(image) @ self._LUMA)[..., None]
+        rgb = self.transform(self._jitter_hue(image))
+        return rgb, gray.astype(np.float32)
+
+    @staticmethod
+    def _jitter_hue(img: pilImage.Image) -> pilImage.Image:
+        delta = (_random.random() - 0.5) / 5            # turns in [-0.1, 0.1]
+        h, s, v = img.convert('HSV').split()
+        h = h.point(lambda p: (p + int(round(delta * 255))) % 256)
+        return pilImage.merge('HSV', (h, s, v)).convert('RGB')
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
 class ImageLabel(WrappedDataset):
     '''Image + integer label (sklearn LabelEncoder).'''
 

@@ -13,7 +13,7 @@ from collections.abc import Callable
 from typing import Optional
 
 from animeface_tpu.dataset._base import (
-    Image, ImageImage, ImageXDoG, ImageLabel, ImageOnehot, LRHR,
+    Image, ImageImage, ImageXDoG, ImageGray, ImageLabel, ImageOnehot, LRHR,
     make_default_transform, data_path,
 )
 
@@ -80,6 +80,19 @@ class AnimeFaceSR(LRHR):
             self.transform = transform
 
     def _load(self) -> list[str]:
+        return _animeface_images()
+
+
+class AnimeFaceGray(ImageGray):
+    '''rgb + on-the-fly gray (reference original/EDCNN/dataset.py:41).'''
+
+    def __init__(self, image_size: int,
+                 transform: Optional[Callable] = None) -> None:
+        if transform is None:
+            transform = make_default_transform(image_size, hflip=False)
+        super().__init__(transform)
+
+    def _load(self):
         return _animeface_images()
 
 

@@ -8,7 +8,8 @@ from collections.abc import Callable
 from typing import Optional
 
 from animeface_tpu.dataset._base import (
-    Image, ImageImage, ImageXDoG, LRHR, make_default_transform, data_path,
+    Image, ImageImage, ImageXDoG, ImageGray, LRHR, make_default_transform,
+    data_path,
 )
 
 
@@ -62,6 +63,25 @@ class DanbooruPortraitSR(LRHR):
             self.transform = transform
 
     def _load(self) -> list[str]:
+        paths = _portrait_images()
+        if self.num_images is not None:
+            random.shuffle(paths)
+            paths = paths[:self.num_images]
+        return paths
+
+
+class DanbooruPortraitGray(ImageGray):
+    '''rgb + on-the-fly gray (reference original/EDCNN/dataset.py:47:
+    Danbooru resize_ratio=1.125).'''
+
+    def __init__(self, image_size: int, num_images: Optional[int] = None,
+                 transform: Optional[Callable] = None) -> None:
+        self.num_images = num_images
+        if transform is None:
+            transform = make_default_transform(image_size, 1.125, hflip=False)
+        super().__init__(transform)
+
+    def _load(self):
         paths = _portrait_images()
         if self.num_images is not None:
             random.shuffle(paths)

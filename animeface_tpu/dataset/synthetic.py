@@ -109,6 +109,23 @@ class SyntheticLRHR(WrappedDataset):
         return lr, sr
 
 
+class SyntheticImageGray(WrappedDataset):
+    '''Colorization stand-in: image + its ITU-R 601 luminance channel.'''
+
+    _LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)
+
+    def __init__(self, image_size: int, num_images: int = 2048, seed: int = 0) -> None:
+        self.base = SyntheticImage(image_size, num_images, seed)
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, index):
+        img = self.base[index]
+        gray = (img @ self._LUMA)[..., None]
+        return img, gray.astype(np.float32)
+
+
 class SyntheticImageXDoG(WrappedDataset):
     '''Sketch-colorization stand-in: image + gradient-magnitude "line art".'''
 

@@ -1,6 +1,9 @@
 '''EigenGAN (reference `implementations/EigenGAN/model.py`): layer-wise
-learned linear subspaces (Subspace :32 with orthonormal basis U, importance L,
-offset mu) injected into an upsampling generator; instance-norm conv D.'''
+learned linear subspaces (Subspace :32 with orthonormal basis U, importance
+L, offset mu) injected into an upsampling generator (Layer :68, Generator
+:107); conv D with paired stride-1/stride-2 blocks (DiscConvBlock :147,
+Discriminator :164). Full reference knob surface: per-network sn / bias /
+norm_name / act_name.'''
 
 from __future__ import annotations
 
@@ -11,9 +14,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-
-def _inorm(dtype):
-    return nn.GroupNorm(num_groups=None, group_size=1, dtype=dtype)
+from animeface_tpu.nnutils.module.layers import (
+    get_activation, get_normalization,
+)
 
 
 class Subspace(nn.Module):
@@ -42,6 +45,7 @@ class SNConvT(nn.Module):
     kernel_size: int = 3
     strides: int = 1
     sn: bool = True
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -49,7 +53,8 @@ class SNConvT(nn.Module):
         conv = nn.ConvTranspose(self.features,
                                 (self.kernel_size, self.kernel_size),
                                 strides=(self.strides, self.strides),
-                                padding='SAME', dtype=self.dtype)
+                                padding='SAME', use_bias=self.use_bias,
+                                dtype=self.dtype)
         if self.sn:
             return nn.SpectralNorm(conv)(x, update_stats=train)
         return conv(x)
@@ -60,13 +65,15 @@ class SNConv(nn.Module):
     kernel_size: int = 3
     strides: int = 1
     sn: bool = True
+    use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         conv = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                        strides=(self.strides, self.strides),
-                       padding=self.kernel_size // 2, dtype=self.dtype)
+                       padding=self.kernel_size // 2, use_bias=self.use_bias,
+                       dtype=self.dtype)
         if self.sn:
             return nn.SpectralNorm(conv)(x, update_stats=train)
         return conv(x)
@@ -79,22 +86,32 @@ class Layer(nn.Module):
     latent_dim: int
     resolution: int
     sn: bool = True
+    use_bias: bool = True
+    norm_name: str = 'in'
+    act_name: str = 'lrelu'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, z, train: bool = True):
+        act = get_activation(self.act_name)
         w = Subspace(self.latent_dim, self.in_channels, self.resolution)(z)
         w = w.astype(x.dtype)
-        w1 = SNConvT(self.in_channels, 1, 1, self.sn, self.dtype)(w, train)
+        w1 = SNConvT(self.in_channels, 1, 1, self.sn, self.use_bias,
+                     self.dtype)(w, train)
         h = x + w1
-        h = _inorm(self.dtype)(h)
-        h = jax.nn.leaky_relu(h, 0.2)
-        h = SNConvT(self.out_channels, 3, 2, self.sn, self.dtype)(h, train)
-        w2 = SNConvT(self.out_channels, 3, 2, self.sn, self.dtype)(w, train)
+        h = get_normalization(self.norm_name, self.in_channels,
+                              dtype=self.dtype)(h)
+        h = act(h)
+        h = SNConvT(self.out_channels, 3, 2, self.sn, self.use_bias,
+                    self.dtype)(h, train)
+        w2 = SNConvT(self.out_channels, 3, 2, self.sn, self.use_bias,
+                     self.dtype)(w, train)
         h = h + w2
-        h = _inorm(self.dtype)(h)
-        h = jax.nn.leaky_relu(h, 0.2)
-        h = SNConvT(self.out_channels, 3, 1, self.sn, self.dtype)(h, train)
+        h = get_normalization(self.norm_name, self.out_channels,
+                              dtype=self.dtype)(h)
+        h = act(h)
+        h = SNConvT(self.out_channels, 3, 1, self.sn, self.use_bias,
+                    self.dtype)(h, train)
         return h
 
 
@@ -107,6 +124,9 @@ class Generator(nn.Module):
     channels: int = 32
     max_channels: int = 512
     sn: bool = True
+    use_bias: bool = True
+    norm_name: str = 'in'
+    act_name: str = 'lrelu'
     dtype: Any = jnp.float32
 
     @property
@@ -119,18 +139,21 @@ class Generator(nn.Module):
         c = self.channels * 2 ** num_ups
         och = min(c, self.max_channels)
         x = eps.reshape(eps.shape[0], 1, 1, -1).astype(self.dtype)
-        x = nn.ConvTranspose(och, (4, 4), strides=(4, 4), padding='VALID',
+        x = nn.ConvTranspose(och, (self.bottom_width, self.bottom_width),
+                             strides=(self.bottom_width, self.bottom_width),
+                             padding='VALID', use_bias=self.use_bias,
                              dtype=self.dtype)(x)
         resl = self.bottom_width
         for i in range(num_ups):
             c //= 2
             ich, och = och, min(self.max_channels, c)
-            x = Layer(ich, och, self.z_dim, resl, self.sn,
-                      self.dtype)(x, zs[i], train)
+            x = Layer(ich, och, self.z_dim, resl, self.sn, self.use_bias,
+                      self.norm_name, self.act_name, self.dtype)(
+                x, zs[i], train)
             resl *= 2
-        x = jax.nn.leaky_relu(x, 0.2)
+        x = get_activation(self.act_name)(x)
         x = nn.Conv(self.image_channels, (7, 7), padding=3,
-                    dtype=self.dtype)(x)
+                    use_bias=self.use_bias, dtype=self.dtype)(x)
         return jnp.tanh(x.astype(jnp.float32))
 
 
@@ -141,30 +164,35 @@ class Discriminator(nn.Module):
     channels: int = 16
     max_channels: int = 512
     sn: bool = True
+    use_bias: bool = True
+    norm_name: str = 'in'
+    act_name: str = 'lrelu'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         num_downs = int(np.log2(self.image_size) - np.log2(self.bottom_width))
+        act = get_activation(self.act_name)
         c = self.channels
         och = min(c, self.max_channels)
-        x = SNConv(och, 7, 1, self.sn, self.dtype)(x.astype(self.dtype), train)
-        x = jax.nn.leaky_relu(x, 0.2)
+        x = SNConv(och, 7, 1, self.sn, self.use_bias, self.dtype)(
+            x.astype(self.dtype), train)
+        x = act(x)
         for _ in range(num_downs):
             c *= 2
             ich, och = och, min(self.max_channels, c)
-            x = SNConv(ich, 3, 1, self.sn, self.dtype)(x, train)
-            x = _inorm(self.dtype)(x)
-            x = jax.nn.leaky_relu(x, 0.2)
-            x = SNConv(och, 3, 2, self.sn, self.dtype)(x, train)
-            x = _inorm(self.dtype)(x)
-            x = jax.nn.leaky_relu(x, 0.2)
+            x = SNConv(ich, 3, 1, self.sn, self.use_bias, self.dtype)(x, train)
+            x = get_normalization(self.norm_name, ich, dtype=self.dtype)(x)
+            x = act(x)
+            x = SNConv(och, 3, 2, self.sn, self.use_bias, self.dtype)(x, train)
+            x = get_normalization(self.norm_name, och, dtype=self.dtype)(x)
+            x = act(x)
         x = x.reshape(x.shape[0], -1)
-        dense1 = nn.Dense(och, dtype=self.dtype)
+        dense1 = nn.Dense(och, use_bias=self.use_bias, dtype=self.dtype)
         x = (nn.SpectralNorm(dense1)(x, update_stats=train)
              if self.sn else dense1(x))
-        x = jax.nn.leaky_relu(x, 0.2)
-        dense2 = nn.Dense(1, dtype=self.dtype)
+        x = act(x)
+        dense2 = nn.Dense(1, use_bias=self.use_bias, dtype=self.dtype)
         x = (nn.SpectralNorm(dense2)(x, update_stats=train)
              if self.sn else dense2(x))
         return x.astype(jnp.float32)

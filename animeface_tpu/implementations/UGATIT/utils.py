@@ -1,6 +1,7 @@
 '''UGATIT recipe (reference `implementations/UGATIT/utils.py`): dual
-generators/discriminators with LSGAN adv + CAM BCE + cycle + identity
-losses.'''
+generators + multi-scale CAM discriminators; LSGAN adv on probs AND cam
+logits (:99-106), generator CAM BCE (translated->1, identity->0, :131-136),
+cycle + identity L1, separate --g_lr/--d_lr Adam (:237-238).'''
 
 from __future__ import annotations
 
@@ -8,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from animeface_tpu.implementations.UGATIT.model import Generator, Discriminator
+from animeface_tpu.implementations.UGATIT.model import Generator, MultiScaleD
 from animeface_tpu.utils import add_args, save_args, make_image_grid
 from animeface_tpu.nnutils import KeyGen
 from animeface_tpu.nnutils.accelerate import Accelerator
@@ -40,24 +41,16 @@ def build_train_step(GA, GB, DA, DB, g_tx, d_tx, loss,
 
         def d_loss_fn(d_params):
             da, db = d_params
-            (ra, ra_cam), da_mut = DA.apply(
-                {'params': da, 'batch_stats': state['DA_bs']}, A, train=True,
-                mutable=['batch_stats'])
-            (rb, rb_cam), db_mut = DB.apply(
-                {'params': db, 'batch_stats': state['DB_bs']}, B, train=True,
-                mutable=['batch_stats'])
-            (fa, fa_cam), da_mut = DA.apply(
-                {'params': da, **da_mut}, BA_sg, train=True,
-                mutable=['batch_stats'])
-            (fb, fb_cam), db_mut = DB.apply(
-                {'params': db, **db_mut}, AB_sg, train=True,
-                mutable=['batch_stats'])
+            ra, ra_cam = DA.apply({'params': da}, A)
+            rb, rb_cam = DB.apply({'params': db}, B)
+            fa, fa_cam = DA.apply({'params': da}, BA_sg)
+            fb, fb_cam = DB.apply({'params': db}, AB_sg)
             adv = loss.d_loss(ra, fa) + loss.d_loss(rb, fb)
             cam = loss.d_loss(ra_cam, fa_cam) + loss.d_loss(rb_cam, fb_cam)
-            return adv + cam, (da_mut['batch_stats'], db_mut['batch_stats'])
+            return adv + cam
 
-        (d_loss, (da_bs, db_bs)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)((state['DA'], state['DB']))
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+            (state['DA'], state['DB']))
         d_up, d_opt = d_tx.update(d_grads, state['d_opt'],
                                   (state['DA'], state['DB']))
         da_p, db_p = optax.apply_updates((state['DA'], state['DB']), d_up)
@@ -70,21 +63,23 @@ def build_train_step(GA, GB, DA, DB, g_tx, d_tx, loss,
             bb, bb_cam = g_apply(gb, GB, B)
             aba, _ = g_apply(ga, GA, ab)           # cycle
             bab, _ = g_apply(gb, GB, ba)
-            (fa, fa_cam), _ = DA.apply(
-                {'params': da_p, 'batch_stats': da_bs}, ba, train=True,
-                mutable=['batch_stats'])
-            (fb, fb_cam), _ = DB.apply(
-                {'params': db_p, 'batch_stats': db_bs}, ab, train=True,
-                mutable=['batch_stats'])
+            fa, fa_cam = DA.apply({'params': da_p}, ba)
+            fb, fb_cam = DB.apply({'params': db_p}, ab)
             adv = loss.g_loss(fa) + loss.g_loss(fb) \
                 + loss.g_loss(fa_cam) + loss.g_loss(fb_cam)
-            cyc = jnp.mean(jnp.abs(aba - A)) + jnp.mean(jnp.abs(bab - B))
-            ident = jnp.mean(jnp.abs(aa - A)) + jnp.mean(jnp.abs(bb - B))
-            # generator CAM: translated -> 1, identity -> 0
-            cam = _cam_bce(ba_cam, True) + _cam_bce(aa_cam, False) \
-                + _cam_bce(ab_cam, True) + _cam_bce(bb_cam, False)
-            return adv + cyc * cycle_lambda + ident * id_lambda \
-                + cam * cam_lambda
+            out = adv
+            if id_lambda > 0:
+                ident = jnp.mean(jnp.abs(aa - A)) + jnp.mean(jnp.abs(bb - B))
+                out = out + ident * id_lambda
+            if cycle_lambda > 0:
+                cyc = jnp.mean(jnp.abs(aba - A)) + jnp.mean(jnp.abs(bab - B))
+                out = out + cyc * cycle_lambda
+            if cam_lambda > 0:
+                # generator CAM: translated -> 1, identity -> 0
+                cam = _cam_bce(ba_cam, True) + _cam_bce(aa_cam, False) \
+                    + _cam_bce(ab_cam, True) + _cam_bce(bb_cam, False)
+                out = out + cam * cam_lambda
+            return out
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(
             (state['GA'], state['GB']))
@@ -93,7 +88,6 @@ def build_train_step(GA, GB, DA, DB, g_tx, d_tx, loss,
         ga_p, gb_p = optax.apply_updates((state['GA'], state['GB']), g_up)
 
         return dict(rng=rng, GA=ga_p, GB=gb_p, DA=da_p, DB=db_p,
-                    DA_bs=da_bs, DB_bs=db_bs,
                     g_opt=g_opt, d_opt=d_opt, step=state['step'] + 1), \
             dict(d=jnp.nan_to_num(d_loss), g=jnp.nan_to_num(g_loss))
 
@@ -106,35 +100,41 @@ def train(args, max_iters, loader, test_batch):
 
     a_ch = int(test_batch[0].shape[-1])
     b_ch = int(test_batch[1].shape[-1])
-    mk = lambda io: Generator(image_size=args.image_size,
-                              channels=args.channels,
+    mk = lambda io: Generator(image_size=args.image_size, bottom=args.bottom,
+                              channels=args.g_channels,
+                              max_channels=args.g_max_channels,
                               resblocks=args.resblocks,
                               adalinresblocks=args.adalinresblocks,
+                              act_name=args.g_act_name,
+                              norm_name=args.norm_name, light=args.light,
                               io_channels=io, dtype=accel.compute_dtype)
     GA, GB = mk(a_ch), mk(b_ch)   # GA: B->A requires a_ch==b_ch in reference;
-    DA = Discriminator(channels=args.d_channels, dtype=accel.compute_dtype)
-    DB = Discriminator(channels=args.d_channels, dtype=accel.compute_dtype)
+    mkd = lambda io: MultiScaleD(num_scale=args.num_scale,
+                                 num_layers=args.num_layers,
+                                 channels=args.d_channels,
+                                 max_channels=args.d_max_channels,
+                                 act_name=args.d_act_name, in_channels=io,
+                                 dtype=accel.compute_dtype)
+    DA, DB = mkd(a_ch), mkd(b_ch)
 
     shape = (1, args.image_size, args.image_size)
     ga_v = GA.init(keys(), jnp.zeros(shape + (b_ch,)), train=True)
     gb_v = GB.init(keys(), jnp.zeros(shape + (a_ch,)), train=True)
-    da_v = DA.init(keys(), jnp.zeros(shape + (a_ch,)), train=True)
-    db_v = DB.init(keys(), jnp.zeros(shape + (b_ch,)), train=True)
+    da_v = DA.init(keys(), jnp.zeros(shape + (a_ch,)))
+    db_v = DB.init(keys(), jnp.zeros(shape + (b_ch,)))
 
-    g_tx = optax.adam(args.lr, b1=args.betas[0], b2=args.betas[1])
-    d_tx = optax.adam(args.lr, b1=args.betas[0], b2=args.betas[1])
+    g_tx = optax.adam(args.g_lr, b1=args.betas[0], b2=args.betas[1])
+    d_tx = optax.adam(args.d_lr, b1=args.betas[0], b2=args.betas[1])
     state = dict(rng=keys(),
                  GA=ga_v['params'], GB=gb_v['params'],
                  DA=da_v['params'], DB=db_v['params'],
-                 DA_bs=da_v.get('batch_stats', {}),
-                 DB_bs=db_v.get('batch_stats', {}),
                  g_opt=g_tx.init((ga_v['params'], gb_v['params'])),
                  d_opt=d_tx.init((da_v['params'], db_v['params'])),
                  step=jnp.int32(0))
 
     train_step = accel.jit_step(build_train_step(
         GA, GB, DA, DB, g_tx, d_tx, LSGANLoss(),
-        args.cycle_lambda, args.id_lambda, args.cam_lambda))
+        args.cycle_lambda, args.identity_lambda, args.cam_lambda))
 
     test_A = jnp.asarray(test_batch[0])
 
@@ -160,15 +160,27 @@ def train(args, max_iters, loader, test_batch):
 def main(parser):
     parser = add_args(parser, dict(
         num_test=[4, 'eval samples'],
-        channels=[64, 'G channel width'],
-        resblocks=[6, 'encoder res blocks'],
-        adalinresblocks=[6, 'AdaLIN res blocks'],
-        d_channels=[64, 'D channel width'],
-        lr=[0.0001, 'learning rate'],
+        image_channels=[3, 'image channels'],
+        bottom=[int, 'bottom size. if not specified, will be '
+                     'image_size // 4'],
+        g_channels=[64, 'minimum channel width'],
+        g_max_channels=[512, 'maximum channel width'],
+        resblocks=[6, 'number of residual blocks'],
+        adalinresblocks=[6, 'number of adalin residual blocks'],
+        g_act_name=['relu', 'activation function name'],
+        norm_name=['in', 'normalization layer name'],
+        light=[False, 'light weight'],
+        num_scale=[2, 'number of scales for multi scale D'],
+        num_layers=[3, 'number of layers'],
+        d_channels=[64, 'minimum channel width'],
+        d_max_channels=[512, 'maximum channel width'],
+        d_act_name=['relu', 'activation function name'],
+        g_lr=[0.0002, 'learning rate'],
+        d_lr=[0.0002, 'learning rate'],
         betas=[[0.5, 0.999], 'betas'],
-        cycle_lambda=[10., 'lambda for cycle'],
-        id_lambda=[10., 'lambda for identity'],
-        cam_lambda=[1000., 'lambda for CAM BCE'],
+        cycle_lambda=[10., 'lambda for cycle consistency loss'],
+        identity_lambda=[10., 'lambda for identity loss'],
+        cam_lambda=[1000., 'lambda for CAM loss'],
     ))
     args = parser.parse_args()
     save_args(args)

@@ -59,6 +59,10 @@ import os
 #:            diagnostic fallback
 _PACK_LAYOUT = os.environ.get('ANIMEFACE_PACK_LAYOUT', 'int32')
 
+#: diagnostic: which side uses the broadcast-vectorized bit ops ('both',
+#: 'pack', 'unpack', 'none') — isolating a TPU compiler crash at batch 32
+_PACK_VEC = os.environ.get('ANIMEFACE_PACK_VEC', 'both')
+
 
 def _pack_gate_codes(codes, layout=None):
     '''uint8 codes in {0,1,2}, [N,H,W,C] -> packed per `layout`
@@ -80,6 +84,18 @@ def _pack_gate_codes(codes, layout=None):
     if pad:
         codes = jnp.pad(codes, ((0, 0),) * 3 + ((0, pad),))
     q = codes.reshape(N, H, (W * (C + pad)) // k, k).astype(dt)
+    if layout == 'int32' and _PACK_VEC in ('both', 'pack'):
+        # one broadcast shift + one reduction (a k-long sequential or-chain
+        # of strided minor-dim slices is ~35% step-time at StyleGAN3 scale)
+        shifts = jnp.arange(k, dtype=dt) * 2
+        return jnp.sum(q << shifts[None, None, None, :], axis=-1, dtype=dt)
+    if layout == 'int32' and _PACK_VEC in ('tree', 'tree-pack'):
+        # log2(k) pairwise combines; intermediates stay <= k/2 wide
+        bits = 2
+        while q.shape[-1] > 1:
+            q = q[..., 0::2] | (q[..., 1::2] << bits)
+            bits *= 2
+        return q[..., 0]
     out = q[..., 0]
     for j in range(1, k):
         out = out | (q[..., j] << (2 * j))
@@ -97,9 +113,27 @@ def _unpack_gate_codes(packed, shape, layout=None):
         q = jnp.stack(parts, axis=-1)
         return q.reshape(N, H, W, q.shape[-2] * 4)[..., :C]
     k = 16 if layout == 'int32' else 4
-    mask = jnp.uint32(3) if layout == 'int32' else jnp.uint8(3)
-    parts = [((packed >> (2 * j)) & mask).astype(jnp.uint8) for j in range(k)]
-    q = jnp.stack(parts, axis=-1)
+    if layout == 'int32' and _PACK_VEC in ('both', 'unpack'):
+        shifts = jnp.arange(k, dtype=jnp.uint32) * 2
+        q = ((packed[..., None] >> shifts[None, None, None, :])
+             & jnp.uint32(3)).astype(jnp.uint8)
+    elif layout == 'int32' and _PACK_VEC in ('tree', 'tree-unpack'):
+        # inverse of the pairwise tree: split halves, interleave via reshape
+        q = packed[..., None]
+        bits = 32
+        while q.shape[-1] < k:
+            bits //= 2
+            mask = jnp.uint32((1 << bits) - 1)
+            q = jnp.stack([q & mask, q >> bits], axis=-1)
+            q = q.reshape(q.shape[:-2] + (q.shape[-2] * 2,))
+        q = q.astype(jnp.uint8)
+    elif layout == 'int32':
+        q = jnp.stack([((packed >> (2 * j)) & jnp.uint32(3)).astype(jnp.uint8)
+                       for j in range(k)], axis=-1)
+    else:
+        mask = jnp.uint8(3)
+        q = jnp.stack([((packed >> (2 * j)) & mask).astype(jnp.uint8)
+                       for j in range(k)], axis=-1)
     cp = (q.shape[-2] * k) // W
     return q.reshape(N, H, W, cp)[..., :C]
 

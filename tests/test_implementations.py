@@ -289,7 +289,9 @@ def test_eigengan_end_to_end(tmp_path):
     out = run_impl('EigenGAN', tmp_path, iters=4, image_size=32, batch=8,
                    extra_args=('--eps-dim', '32', '--latent-dim', '4',
                                '--g-channels', '8', '--d-channels', '8',
-                               '--max-channels', '32', '--gp-every', '2'))
+                               '--g-max-channels', '32',
+                               '--d-max-channels', '32', '--ema',
+                               '--gp-lambda', '10.', '--num-test', '8'))
     check_artifacts(out)
 
 
@@ -372,9 +374,18 @@ def test_hit_end_to_end(tmp_path):
 
 @pytest.mark.slow
 def test_pix2pixhd_end_to_end(tmp_path):
+    common = ('--channels', '8', '--d-num-scale', '2', '--g-d-scale', '2',
+              '--l-d-scale', '2', '--global-num-downs', '2',
+              '--global-num-blocks', '1', '--local-num-blocks', '1',
+              '--fine-from', '0', '--num-test', '2')
+    # first invocation: global phase at half res; writes global_final.msgpack
     out = run_impl('pix2pixHD', tmp_path, iters=4, image_size=64, batch=8,
-                   extra_args=('--channels', '8', '--d-channels', '8',
-                               '--num-test', '2'))
+                   extra_args=common)
+    check_artifacts(out)
+    assert 'global_final.msgpack' in os.listdir(out)
+    # second invocation: local phase resumes from the global checkpoint
+    out = run_impl('pix2pixHD', tmp_path, iters=4, image_size=64, batch=8,
+                   extra_args=common)
     check_artifacts(out)
     # degenerate scales produce empty logits -> NaN (masked to 0); assert real
     with open(os.path.join(out, 'checkpoint',
@@ -430,8 +441,10 @@ def test_hologan_end_to_end(tmp_path):
 
 @pytest.mark.slow
 def test_ugatit_end_to_end(tmp_path):
-    out = run_impl('UGATIT', tmp_path, iters=4, image_size=32, batch=8,
-                   extra_args=('--channels', '8', '--d-channels', '8',
+    out = run_impl('UGATIT', tmp_path, iters=4, image_size=64, batch=8,
+                   extra_args=('--g-channels', '8', '--d-channels', '8',
+                               '--g-max-channels', '32',
+                               '--d-max-channels', '32', '--light',
                                '--resblocks', '1', '--adalinresblocks', '1',
                                '--num-test', '2'))
     check_artifacts(out)
@@ -476,7 +489,9 @@ def test_scft_end_to_end(tmp_path):
 def test_hisd_end_to_end(tmp_path):
     out = run_impl('HiSD', tmp_path, iters=3, image_size=32, batch=8,
                    extra_args=('--style-dim', '16', '--latent-dim', '8',
-                               '--channels', '8', '--d-channels', '8',
+                               '--channels', '8', '--ex-bottom-width', '8',
+                               '--map-mid-dim', '16', '--ret-feat',
+                               '--normalize-latent',
                                '--trans-num-blocks', '1'))
     files = os.listdir(out)
     assert 'G_final.msgpack' in files and 'loss.png' in files
@@ -498,8 +513,10 @@ def test_peingan_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_edcnn_end_to_end(tmp_path):
     out = run_impl('EDCNN', tmp_path, iters=2, image_size=64, batch=8,
-                   extra_args=('--channels', '4', '--d-channels', '8',
-                               '--style-dim', '16', '--num-test', '2'))
+                   extra_args=('--channels', '4', '--style-dim', '16',
+                               '--num-res-blocks', '2', '--num-layers', '2',
+                               '--se-blocks-per-resl', '1', '--ttur',
+                               '--content-lambda', '1.0', '--num-test', '2'))
     check_artifacts(out, iters=2)
 
 
