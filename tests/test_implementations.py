@@ -416,8 +416,9 @@ def test_stylegan1_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_singan_end_to_end(tmp_path):
     out = run_impl('SinGAN', tmp_path, iters=2, image_size=32, batch=1,
-                   extra_args=('--min-size', '16', '--scale-factor', '0.6',
-                               '--channels', '8', '--num-layers', '3'))
+                   extra_args=('--max-size', '32', '--min-size', '16',
+                               '--scale-factor', '0.6', '--channels', '8',
+                               '--num-layers', '3'))
     files = os.listdir(out)
     assert 'G_final.msgpack' in files and 'loss.png' in files
     assert any(f.startswith('scale_') for f in files)
