@@ -334,7 +334,7 @@ def _sg2_small():
 @pytest.mark.slow
 def test_adabelief_end_to_end(tmp_path):
     out = run_impl('AdaBelief', tmp_path, iters=4, image_size=32, batch=8,
-                   extra_args=_sg2_small() + ('--d-k', '2',))
+                   extra_args=_sg2_small())
     check_artifacts(out)
 
 
