@@ -463,7 +463,7 @@ def test_ganilla_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_anigan_end_to_end(tmp_path):
     out = run_impl('AniGAN', tmp_path, iters=4, image_size=32, batch=8,
-                   extra_args=('--channels', '8', '--d-channels', '8',
+                   extra_args=('--g-channels', '8', '--d-channels', '8',
                                '--bottom-width', '8', '--num-test', '2'))
     check_artifacts(out)
 
