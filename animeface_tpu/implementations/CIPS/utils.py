@@ -71,17 +71,37 @@ def train(args, max_iters, loader):
 
     G = Generator(image_size=args.image_size, latent_dim=args.latent_dim,
                   style_dim=args.style_dim, num_layers=args.num_layers,
-                  channels=args.channels, max_channels=args.max_channels,
+                  channels=args.g_channels, max_channels=args.g_max_channels,
+                  image_channels=args.image_channels,
                   map_num_layers=args.map_num_layers,
+                  pixel_norm=not args.no_pixel_norm,
                   dtype=accel.compute_dtype)
-    D = Discriminator(image_size=args.image_size, channels=args.d_channels,
+    D = Discriminator(image_size=args.image_size,
+                      in_channels=args.image_channels,
+                      channels=args.d_channels,
                       max_channels=args.d_max_channels,
+                      mbsd_group_size=args.mbsd_group_size,
+                      mbsd_channels=args.mbsd_channels,
+                      bottom=args.bottom, filter_size=args.filter_size,
                       dtype=accel.compute_dtype)
 
     g_vars = G.init(keys(), jnp.zeros((1, args.latent_dim)))
-    d_vars = D.init(keys(), jnp.zeros((2, args.image_size, args.image_size, 3)))
+    d_vars = D.init(keys(), jnp.zeros((2, args.image_size, args.image_size,
+                                       args.image_channels)))
 
-    g_tx = optax.adam(args.lr, b1=args.betas[0], b2=args.betas[1])
+    # mapping network at lr * map_lr_scale (reference optimizer groups,
+    # utils.py:169-173); the mapping Linears are the top-level Linear_* in
+    # this flax Generator
+    def g_label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: 'map' if str(path[0].key).startswith('Linear_')
+            else 'syn', params)
+
+    g_tx = optax.multi_transform(
+        {'syn': optax.adam(args.lr, b1=args.betas[0], b2=args.betas[1]),
+         'map': optax.adam(args.lr * args.map_lr_scale, b1=args.betas[0],
+                           b2=args.betas[1])},
+        g_label_fn)
     d_tx = optax.adam(args.lr, b1=args.betas[0], b2=args.betas[1])
     state = dict(rng=keys(), G=g_vars['params'], D=d_vars['params'],
                  G_moments=g_vars['moments'],
@@ -102,7 +122,7 @@ def train(args, max_iters, loader):
             return jit_r1(state, batch)
         return jit_plain(state, batch)
 
-    const_z = sample_nnoise(keys(), (16, args.latent_dim))
+    const_z = sample_nnoise(keys(), (args.num_test, args.latent_dim))
 
     @jax.jit
     def sample_fn(state):
@@ -120,19 +140,27 @@ def train(args, max_iters, loader):
 
 def main(parser):
     parser = add_args(parser, dict(
-        latent_dim=[512, 'latent dimension'],
-        style_dim=[512, 'style dimension'],
-        num_layers=[14, 'style layers (even)'],
-        channels=[32, 'channel base'],
-        max_channels=[512, 'max channels'],
-        map_num_layers=[4, 'mapping layers'],
-        d_channels=[64, 'D channel base'],
-        d_max_channels=[512, 'D max channels'],
-        lr=[2e-3, 'learning rate'],
+        num_test=[16, 'number of images for eval'],
+        image_channels=[3, 'image channels'],
+        latent_dim=[512, 'dimension of input latent'],
+        style_dim=[512, 'dimension of style code'],
+        num_layers=[14, 'number of style layers'],
+        g_channels=[32, 'minimum channel width'],
+        g_max_channels=[512, 'maximum channel width'],
+        map_num_layers=[4, 'number of layers in mapping network'],
+        no_pixel_norm=[False, 'disable pixel normalization'],
+        d_channels=[64, 'minimum channel width'],
+        d_max_channels=[512, 'maximum channel width'],
+        mbsd_group_size=[4, 'mini-batch standard deviation group size'],
+        mbsd_channels=[1, 'mini-batch standard deviation channels'],
+        bottom=[4, 'bottom width'],
+        filter_size=[4, 'filter size'],
+        lr=[0.0025, 'learning rate'],
+        map_lr_scale=[0.01, 'scale learning rate for mapping network with'],
         betas=[[0., 0.99], 'betas'],
-        gp_lambda=[10., 'lambda for r1'],
+        gp_lambda=[10., 'lambda for gradient penalty'],
         gp_every=[16, 'R1 every N steps'],
-        policy=['color,translation', 'DiffAugment policy'],
+        policy=['color,translation', 'policy for diffaugment'],
     ))
     args = parser.parse_args()
     save_args(args)

@@ -72,12 +72,17 @@ def main():
 
     for piece in pieces:
         if piece == 'fwd':
-            report('fwd', lambda p, zz: G.apply(p, zz, train=True),
-                   state['G'], z)
+            report('fwd',
+                   lambda p, m, zz: G.apply(
+                       {'params': p, 'moments': m}, zz, train=True,
+                       mutable=['moments']),
+                   state['G'], state['G_moments'], z)
         elif piece == 'gstep':
             def g_step(st, zz):
                 def lf(p):
-                    fake = G.apply(p, zz, train=True)
+                    fake, _ = G.apply(
+                        {'params': p, 'moments': st['G_moments']}, zz,
+                        train=True, mutable=['moments'])
                     return jnp.mean(jax.nn.softplus(-fake.astype(jnp.float32)))
                 l, g = jax.value_and_grad(lf)(st['G'])
                 up, opt = g_tx.update(g, st['g_opt'], st['G'])
@@ -86,7 +91,7 @@ def main():
         elif piece == 'dstep':
             def d_step(st, im):
                 def lf(p):
-                    out = D.apply(p, im)
+                    out = D.apply({'params': p}, im)
                     return jnp.mean(out.astype(jnp.float32) ** 2)
                 l, g = jax.value_and_grad(lf)(st['D'])
                 up, opt = d_tx.update(g, st['d_opt'], st['D'])

@@ -350,10 +350,11 @@ def test_edge_end_to_end(tmp_path):
 def test_cips_end_to_end(tmp_path):
     out = run_impl('CIPS', tmp_path, iters=4, image_size=16, batch=8,
                    extra_args=('--latent-dim', '16', '--style-dim', '16',
-                               '--num-layers', '2', '--channels', '4',
-                               '--max-channels', '16', '--map-num-layers', '1',
+                               '--num-layers', '2', '--g-channels', '4',
+                               '--g-max-channels', '16',
+                               '--map-num-layers', '1',
                                '--d-channels', '8', '--d-max-channels', '16',
-                               '--gp-every', '2'))
+                               '--gp-every', '2', '--num-test', '8'))
     check_artifacts(out)
 
 
