@@ -431,6 +431,7 @@ class Discriminator(nn.Module):
     block_num_conv: int = 2
     mbsd_groups: int = 4
     mbsd_grouping: str = 'strided'
+    feature_only: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -450,6 +451,10 @@ class Discriminator(nn.Module):
         x = jax.nn.leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
         x = ELRDense(och, dtype=self.dtype)(x)
+        if self.feature_only:
+            # ContraD cuts the reference D here — before the final act +
+            # 1-logit linear (reference ContraD utils.py:287-289)
+            return x.astype(jnp.float32)
         x = jax.nn.leaky_relu(x, 0.2)
         x = ELRDense(1, dtype=self.dtype)(x)
         return x.astype(jnp.float32)

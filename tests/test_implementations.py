@@ -428,8 +428,9 @@ def test_singan_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_contrad_end_to_end(tmp_path):
     out = run_impl('ContraD', tmp_path, iters=4, image_size=32, batch=8,
-                   extra_args=_sg2_small() + ('--d-channels', '8',
-                                              '--projection-features', '16'))
+                   extra_args=_sg2_small() + ('--projection-features', '16',
+                                              '--hidden-features', '16',
+                                              '--augmentation', 'simclr'))
     check_artifacts(out)
 
 
