@@ -44,11 +44,16 @@ def train(args, max_iters, loader):
     keys = KeyGen(args.seed)
 
     model = AE(enc_dim=args.enc_dim, image_size=args.image_size,
-               min_size=args.min_size, img_channels=args.img_channels,
-               channels=args.channels, act_name=args.act_name,
-               output_act=args.output_act, dtype=accel.compute_dtype)
+               min_size=args.min_size, num_layers=args.num_layers,
+               img_channels=args.img_channels, channels=args.channels,
+               norm_name=args.norm_name, act_name=args.act_name,
+               up_mode=args.up_mode, output_act=args.output_act,
+               dtype=accel.compute_dtype)
     variables = model.init(keys(), jnp.zeros(
         (1, args.image_size, args.image_size, args.img_channels)), train=True)
+    # norm_name != 'bn' has no batch_stats collection; keep the state shape
+    variables = {'params': variables['params'],
+                 'batch_stats': variables.get('batch_stats', {})}
 
     tx = optax.adam(1e-3)
     state = dict(rng=keys(), model=variables,
@@ -74,16 +79,18 @@ def train(args, max_iters, loader):
 
 
 def main(parser):
+    # reference add_args schema (utils.py:69-80), verbatim
     parser = add_args(parser, dict(
-        enc_dim=[128, 'encoded vector dimension'],
-        min_size=[8, 'bottleneck spatial size'],
-        num_layers=[None or 4, 'layers (derived from sizes here)'],
-        img_channels=[3, 'image channels'],
-        channels=[32, 'channel width'],
+        enc_dim=[128, 'dimension to encode to'],
+        min_size=[8, 'minimum size before flatten'],
+        num_layers=[int, 'number of layers in encoder. if not given, '
+                         'will be calculated from --min-size'],
+        img_channels=[3, 'number of channels of the images'],
+        channels=[64, 'channel width multiplier'],
         norm_name=['bn', 'normalization layer name'],
-        act_name=['relu', 'activation name'],
+        act_name=['relu', 'activation function name'],
         up_mode=['bilinear', 'upsample mode'],
-        output_act=['tanh', 'output activation: tanh | sigmoid'],
+        output_act=['tanh', 'output activation.'],
     ))
     args = parser.parse_args()
     save_args(args)

@@ -162,7 +162,7 @@ def train(args, dataset_factory):
 
 def main(parser):
     parser = add_args(parser, dict(
-        latent_dim=[100, 'input latent dimension'],
+        latent_dim=[512, 'input latent dim'],
         gp_lambda=[10., 'lambda for gradient penalty'],
         drift_epsilon=[0.001, 'eps for drift'],
         policy=['color,translation', 'DiffAugment policy'],

@@ -105,7 +105,7 @@ def train(args, max_iters, loader, latent_dim, save_interval):
 
 
 def main(parser):
-    parser = add_args(parser, {'latent_dim': [100, 'input latent dim']})
+    parser = add_args(parser, {'latent-dim': [100, 'input latent dim']})
     args = parser.parse_args()
     save_args(args)
 

@@ -27,7 +27,8 @@ from animeface_tpu.checkpoint import save_model
 resl2num = {4: 2, 8: 2, 16: 3, 32: 4, 64: 4, 128: 4}  # StyleGAN config.py
 
 
-def build_train_step(G, D, g_tx, d_tx, loss, gp_lambda, depth, g_mode, d_mode):
+def build_train_step(G, D, g_tx, d_tx, loss, gp_lambda, drift_epsilon,
+                     depth, g_mode, d_mode):
     def train_step(state, real):
         rng, zkey, gpkey, nkey = jax.random.split(state['rng'], 4)
         B = real.shape[0]
@@ -42,9 +43,12 @@ def build_train_step(G, D, g_tx, d_tx, loss, gp_lambda, depth, g_mode, d_mode):
             d_apply = lambda img: D.apply({'params': d_params}, img,
                                           depth=depth, mode=d_mode,
                                           alpha=alpha)
-            adv = loss.d_loss(d_apply(real), d_apply(fake_sg))
+            real_prob = d_apply(real)
+            adv = loss.d_loss(real_prob, d_apply(fake_sg))
             gp = gradient_penalty(gpkey, real, fake_sg, d_apply)
-            return adv + gp_lambda * gp
+            # drift penalty (reference utils.py:152-155)
+            drift = jnp.mean(jnp.square(real_prob))
+            return adv + gp_lambda * gp + drift * drift_epsilon
 
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state['D'])
         d_up, d_opt = d_tx.update(d_grads, state['d_opt'], state['D'])
@@ -73,7 +77,8 @@ def train(args, dataset_factory):
     keys = KeyGen(args.seed)
 
     max_depth = RESOLUTIONS.index(args.image_size)
-    G = Generator(latent_dim=args.latent_dim, style_dim=args.style_dim,
+    # reference passes the latent dim as the style width too (utils.py:237)
+    G = Generator(latent_dim=args.latent_dim, style_dim=args.latent_dim,
                   max_depth=max_depth, dtype=accel.compute_dtype)
     D = Discriminator(max_depth=max_depth, dtype=accel.compute_dtype)
     g_params = G.init_all(keys())['params']
@@ -122,7 +127,8 @@ def train(args, dataset_factory):
         key = (depth, g_mode, d_mode)
         if key not in step_cache:
             step_cache[key] = accel.jit_step(build_train_step(
-                G, D, g_tx, d_tx, loss, args.gp_lambda, depth, g_mode, d_mode))
+                G, D, g_tx, d_tx, loss, args.gp_lambda, args.drift_epsilon,
+                depth, g_mode, d_mode))
         jstep = step_cache[key]
 
         state = dict(rng=rng, G=g_params, D=d_params, g_opt=g_opt,
@@ -157,9 +163,9 @@ def train(args, dataset_factory):
 
 def main(parser):
     parser = add_args(parser, dict(
-        latent_dim=[512, 'latent dimension'],
-        style_dim=[512, 'style dimension'],
+        latent_dim=[512, 'latent input dimension'],
         gp_lambda=[10., 'lambda for gradient penalty'],
+        drift_epsilon=[0.0001, 'epsilon for drift'],
     ))
     args = parser.parse_args()
     save_args(args)

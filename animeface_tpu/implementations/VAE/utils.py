@@ -1,5 +1,5 @@
 '''VAE recipe (reference `implementations/VAE/utils.py`): sum-MSE
-reconstruction + KL divergence, Adam(2e-4).'''
+reconstruction + KL divergence, Adam(lr, (beta1, beta2)).'''
 
 from __future__ import annotations
 
@@ -24,16 +24,18 @@ def build_train_step(model, tx):
         rng, rkey = jax.random.split(state['rng'])
 
         def loss_fn(params):
-            recons, z, mu, logvar = model.apply({'params': params}, batch,
-                                                rngs={'reparam': rkey})
+            (recons, z, mu, logvar), new_bs = model.apply(
+                {'params': params, 'batch_stats': state['batch_stats']},
+                batch, rngs={'reparam': rkey}, mutable=['batch_stats'])
             recons_loss = jnp.sum((recons - batch) ** 2)
             kld = kl_divergence(mu, logvar)
-            return recons_loss + kld
+            return recons_loss + kld, new_bs['batch_stats']
 
-        loss, grads = jax.value_and_grad(loss_fn)(state['params'])
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state['params'])
         up, opt = tx.update(grads, state['opt'], state['params'])
         params = optax.apply_updates(state['params'], up)
-        return dict(rng=rng, params=params, opt=opt,
+        return dict(rng=rng, params=params, opt=opt, batch_stats=batch_stats,
                     step=state['step'] + 1), \
             dict(loss=jnp.nan_to_num(loss))
 
@@ -46,22 +48,28 @@ def train(args, max_iters, loader):
 
     model = VAE(image_size=args.image_size, z_dim=args.z_dim,
                 image_channels=args.image_channels, channels=args.channels,
-                max_channels=args.max_channels, dtype=accel.compute_dtype)
+                max_channels=args.max_channels,
+                enc_target_resl=args.enc_target_resl,
+                use_bias=not args.disable_bias, norm_name=args.norm_name,
+                act_name=args.act_name, dtype=accel.compute_dtype)
     variables = model.init(
         {'params': keys(), 'reparam': keys()},
         jnp.zeros((1, args.image_size, args.image_size, args.image_channels)))
+    batch_stats = variables.get('batch_stats', {})
 
-    tx = optax.adam(args.lr)
+    tx = optax.adam(args.lr, b1=args.beta1, b2=args.beta2)
     state = dict(rng=keys(), params=variables['params'],
-                 opt=tx.init(variables['params']), step=jnp.int32(0))
+                 opt=tx.init(variables['params']), batch_stats=batch_stats,
+                 step=jnp.int32(0))
     train_step = accel.jit_step(build_train_step(model, tx))
 
-    const_z = sample_nnoise(keys(), (16, args.z_dim))
+    const_z = sample_nnoise(keys(), (args.test_images, args.z_dim))
 
     @jax.jit
     def sample_fn(state):
-        return model.apply({'params': state['params']}, const_z,
-                           method=VAE.decode)
+        return model.apply(
+            {'params': state['params'], 'batch_stats': state['batch_stats']},
+            const_z, method=VAE.decode, mutable=['batch_stats'])[0]
 
     return run_training(
         name='VAE', args=args, accel=accel, state=state, loader=loader,
@@ -72,12 +80,20 @@ def train(args, max_iters, loader):
 
 
 def main(parser):
+    # reference add_args schema (utils.py:94-107), verbatim
     parser = add_args(parser, dict(
-        z_dim=[256, 'latent dimension'],
-        image_channels=[3, 'image channels'],
-        channels=[32, 'channel width'],
-        max_channels=[512, 'maximum channels'],
+        image_channels=[3, 'number of channels in input images'],
+        z_dim=[256, 'dimension of extracted feature vector z'],
+        channels=[32, 'channel width multiplier'],
+        max_channels=[1024, 'maximum channels'],
+        enc_target_resl=[4, 'resolution to dwonsample to before faltten'],
+        disable_bias=[False, 'do not use bias'],
+        norm_name=['bn', 'normalization layer name'],
+        act_name=['relu', 'activation function name'],
         lr=[0.0002, 'learning rate'],
+        beta1=[0.9, 'beta1'],
+        beta2=[0.999, 'beta2'],
+        test_images=[16, 'number of images for evaluation'],
     ))
     args = parser.parse_args()
     save_args(args)

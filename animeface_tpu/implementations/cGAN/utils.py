@@ -99,7 +99,7 @@ def train(args, max_iters, loader, num_classes):
 
 
 def main(parser):
-    parser = add_args(parser, dict(latent_dim=[100, 'input latent dim']))
+    parser = add_args(parser, dict(latent_dim=[200]))
     args = parser.parse_args()
     save_args(args)
 

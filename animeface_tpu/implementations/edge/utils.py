@@ -17,7 +17,7 @@ from PIL import Image as pilImage, ImageFilter
 
 from animeface_tpu.implementations.StyleGAN2.model import Generator, Discriminator
 from animeface_tpu.implementations.StyleGAN2.utils import (
-    STYLEGAN2_ARGS, build_models, make_optimizers,
+    build_models, make_optimizers,
 )
 from animeface_tpu.utils import add_args, save_args
 from animeface_tpu.nnutils import KeyGen, sample_nnoise, update_ema
@@ -159,15 +159,28 @@ def train(args, max_iters, loader):
 
 
 def main(parser):
-    spec = dict(STYLEGAN2_ARGS)
-    spec.pop('pl_lambda')
-    spec.pop('g_k')
     parser = add_args(parser, dict(
-        **spec, edge_loss_from=[10000, 'use edge loss until this step'],
+        image_channels=[3, 'number of channels for generated images'],
+        style_dim=[512, 'style code dimension'],
+        channels=[32, 'channel width multiplier'],
+        max_channels=[512, 'maximum channels width'],
+        block_num_conv=[2, 'number of conv in residual'],
+        map_num_layers=[8, 'number of layers mapping network'],
+        map_lr=[0.01, 'learning rate for mapping network'],
+        disable_map_norm=[False, 'disable pixel norm'],
+        mbsd_groups=[4, 'mini batch stddev groups'],
+        lr=[0.001, 'learning rate'],
+        betas=[[0., 0.99], 'betas'],
+        d_k=[16, 'calc gp every'],
+        r1_lambda=[10., 'lambda for gp'],
+        policy=['color,translation', 'policy for DiffAugment'],
+        wait_edge_epoch=[0, 'epochs to wait before adding edge adv loss'],
     ))
     args = parser.parse_args()
-    args.pl_lambda, args.g_k = 0.0, 8   # recipe has no path-length term
     save_args(args)
+    # make_optimizers consumes beta1/beta2; recipe has no path-length term
+    args.beta1, args.beta2 = args.betas
+    args.pl_lambda, args.g_k = 0.0, 8
 
     import os
     if args.synthetic_data or not os.path.isdir(args.data_root):
@@ -178,4 +191,8 @@ def main(parser):
         dataset = AnimeFaceBlur(args.image_size)
     loader = DataLoader(dataset, args.batch_size, seed=args.seed)
     max_iters = default_max_iters(args, loader)
+    # the blur adversarial term runs only WHILE batches_done < this bound
+    # (reference quirk, utils.py:123 `edge_loss_from > status.batches_done`;
+    # the default wait_edge_epoch=0 therefore never enables it)
+    args.edge_loss_from = len(loader) * args.wait_edge_epoch
     train(args, max_iters, loader)

@@ -130,18 +130,22 @@ def train(args, max_iters, loader, test_batch):
 
 
 def main(parser):
+    # reference schema (utils.py:135-144); the model knobs below the first
+    # block are hardcoded in the reference ("only normalization layer name
+    # as a controllable parameter", utils.py:169-176) — exposed here at the
+    # reference's hardcoded values so smokes can shrink the model
     parser = add_args(parser, dict(
-        num_test=[3, 'eval samples'],
-        norm_name=['in', 'normalization: bn | in | ln | lin | polin'],
-        channels=[32, 'G channel width'],
-        style_dim=[128, 'style vector dimension'],
-        d_num_scale=[2, 'D scales'],
-        d_channels=[32, 'D channel width'],
+        num_test=[4, 'number images for test.'],
+        norm_name=['in', 'normalization layer name'],
         lr=[0.0002, 'learning rate'],
         betas=[[0.5, 0.999], 'betas'],
-        recon_lambda=[10., 'lambda for L1 recon'],
-        style_lambda=[100., 'lambda for VGG style'],
-        content_lambda=[1., 'lambda for VGG content'],
+        style_lambda=[10., 'lambda for style loss'],
+        content_lambda=[0., 'lambda for content loss'],
+        recon_lambda=[5., 'lambda for reconstruction loss'],
+        channels=[32, 'G channel width (reference hardcodes 32)'],
+        style_dim=[512, 'style vector dimension (reference hardcodes 512)'],
+        d_num_scale=[1, 'D scales (reference hardcodes num_discs=1)'],
+        d_channels=[64, 'D channel width (reference hardcodes 64)'],
     ))
     args = parser.parse_args()
     save_args(args)

@@ -11,6 +11,14 @@ from animeface_tpu.utils import argument, debug_mode
 
 
 def main():
+    # the axon sitecustomize force-registers the TPU and ignores
+    # JAX_PLATFORMS; this hook makes CPU CLI runs possible
+    # (ANIMEFACE_PLATFORM=cpu python main.py ...)
+    import os
+    platform = os.environ.get('ANIMEFACE_PLATFORM')
+    if platform:
+        import jax
+        jax.config.update('jax_platforms', platform)
     parser = argument.get_default_parser()
     args = parser.parse_known_args()[0]
     if args.debug:

@@ -342,7 +342,7 @@ def test_adabelief_end_to_end(tmp_path):
 def test_edge_end_to_end(tmp_path):
     out = run_impl('edge', tmp_path, iters=4, image_size=32, batch=8,
                    extra_args=_sg2_small() + ('--d-k', '2',
-                                              '--edge-loss-from', '3'))
+                                              '--wait-edge-epoch', '1'))
     check_artifacts(out)
 
 
@@ -409,7 +409,7 @@ def test_spade_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_stylegan1_end_to_end(tmp_path):
     out = run_impl('StyleGAN', tmp_path, iters=0, image_size=8, batch=8,
-                   extra_args=('--latent-dim', '32', '--style-dim', '32'))
+                   extra_args=('--latent-dim', '32',))
     files = os.listdir(out)
     assert 'final.png' in files and 'G_final.msgpack' in files
 
@@ -455,8 +455,9 @@ def test_ugatit_end_to_end(tmp_path):
 
 @pytest.mark.slow
 def test_ganilla_end_to_end(tmp_path):
-    out = run_impl('GANILLA', tmp_path, iters=4, image_size=32, batch=8,
-                   extra_args=('--channels', '4', '--hid-channels', '8',
+    # 64px: the reference D's VALID k4-s2 stack needs >=64px for 3 layers
+    out = run_impl('GANILLA', tmp_path, iters=4, image_size=64, batch=8,
+                   extra_args=('--g-channels', '4', '--hid-channels', '8',
                                '--num-feats', '1', '--d-channels', '8',
                                '--num-test', '2'))
     check_artifacts(out)
@@ -482,7 +483,8 @@ def test_normalizations_end_to_end(tmp_path, norm):
 
 @pytest.mark.slow
 def test_scft_end_to_end(tmp_path):
-    out = run_impl('SCFT', tmp_path, iters=2, image_size=32, batch=8,
+    # 64px: the reference D's VALID k4-s2 stack needs >=64px for 3 layers
+    out = run_impl('SCFT', tmp_path, iters=2, image_size=64, batch=8,
                    extra_args=('--enc-channels', '4', '--d-channels', '8',
                                '--num-res-blocks', '1', '--num-test', '2'))
     check_artifacts(out, iters=2)

@@ -73,6 +73,24 @@ ALLOW = {
         'missing:d_norm_name': 'D is the shared patch D; bn fixed',
         'missing:d_act_name': 'D is the shared patch D; lrelu fixed',
     },
+    'normalizations': {
+        'extras_note': 'the reference hardcodes the model config (utils.py:'
+                       '169-176, "only normalization layer name as a '
+                       'controllable parameter"); the knobs are exposed at '
+                       'those values so smokes can shrink the model',
+        'extra:channels': 'backbone knob (see extras_note)',
+        'extra:style_dim': 'backbone knob (see extras_note)',
+        'extra:d_num_scale': 'backbone knob (see extras_note)',
+        'extra:d_channels': 'backbone knob (see extras_note)',
+    },
+    'PEinGAN': {
+        'extra:embed_dim': 'SPE embedding width the reference hardcodes in '
+                           'the model; exposed so smokes can shrink it',
+    },
+    'pix2pix': {
+        'extra:drop_out': 'reference Generator(drop_out=0.0) constructor '
+                          'knob (model.py:53), surfaced on the CLI',
+    },
     'TransGAN': {
         'default:g_norm_name': 'accepted for parity; model fixes ln',
         'default:d_norm_name': 'accepted for parity; model fixes ln',
