@@ -110,17 +110,23 @@ class SNConv(nn.Module):
 
 
 class ConditionalNorm(nn.Module):
-    '''BN without affine, then z-conditional gain/bias (reference :35):
-    out = norm(x) * (1 - gain(z)) + bias(z).'''
+    '''Affine-free norm, then z-conditional gain/bias (reference :35):
+    out = norm(x) * (1 - gain(z)) + bias(z). `norm_name` picks bn|in
+    (SEBigGAN exposes it, original/SEBigGAN/utils.py:144).'''
     use_sn: bool = True
+    norm_name: str = 'bn'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, z, train: bool = True):
         ch = x.shape[-1]
-        norm = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            use_bias=False, use_scale=False,
-                            dtype=self.dtype)(x)
+        if self.norm_name == 'bn':
+            norm = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                use_bias=False, use_scale=False,
+                                dtype=self.dtype)(x)
+        else:
+            norm = nn.GroupNorm(num_groups=ch, use_bias=False,
+                                use_scale=False, dtype=self.dtype)(x)
         gain = SNDense(ch, self.use_sn, dtype=self.dtype)(z, train)
         bias = SNDense(ch, self.use_sn, dtype=self.dtype)(z, train)
         return norm * (1 - gain)[:, None, None, :] + bias[:, None, None, :]
@@ -135,21 +141,27 @@ class GBlock(nn.Module):
     features: int
     upsample: bool = True
     use_sn: bool = True
+    norm_name: str = 'bn'
+    act_name: str = 'relu'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, z, train: bool = True):
+        from animeface_tpu.nnutils.module import get_activation
+        act = get_activation(self.act_name)
         in_ch = x.shape[-1]
-        h = ConditionalNorm(self.use_sn, self.dtype)(x, z, train)
-        h = jax.nn.relu(h)
+        h = ConditionalNorm(self.use_sn, self.norm_name, self.dtype)(
+            x, z, train)
+        h = act(h)
         if self.upsample:
             h = up2x(h)
             x = up2x(x)
         if self.upsample or in_ch != self.features:
             x = SNConv(self.features, 1, self.use_sn, dtype=self.dtype)(x, train)
         h = SNConv(self.features, 3, self.use_sn, dtype=self.dtype)(h, train)
-        h = ConditionalNorm(self.use_sn, self.dtype)(h, z, train)
-        h = jax.nn.relu(h)
+        h = ConditionalNorm(self.use_sn, self.norm_name, self.dtype)(
+            h, z, train)
+        h = act(h)
         h = SNConv(self.features, 3, self.use_sn, dtype=self.dtype)(h, train)
         return h + x
 
@@ -162,28 +174,34 @@ class GBlockDeep(nn.Module):
     upsample: bool = True
     use_sn: bool = True
     channel_ratio: int = 4
+    norm_name: str = 'bn'
+    act_name: str = 'relu'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, z, train: bool = True):
+        from animeface_tpu.nnutils.module import get_activation
+        act = get_activation(self.act_name)
+        cn = lambda h: ConditionalNorm(self.use_sn, self.norm_name,
+                                       self.dtype)
         in_ch = x.shape[-1]
         mid = in_ch // self.channel_ratio
-        h = ConditionalNorm(self.use_sn, self.dtype)(x, z, train)
-        h = jax.nn.relu(h)
+        h = cn(x)(x, z, train)
+        h = act(h)
         h = SNConv(mid, 1, self.use_sn, dtype=self.dtype)(h, train)
-        h = ConditionalNorm(self.use_sn, self.dtype)(h, z, train)
-        h = jax.nn.relu(h)
+        h = cn(h)(h, z, train)
+        h = act(h)
         if in_ch != self.features:       # drop_channel (ref :160-161)
             x = x[..., :self.features]
         if self.upsample:
             h = up2x(h)
             x = up2x(x)
         h = SNConv(mid, 3, self.use_sn, dtype=self.dtype)(h, train)
-        h = ConditionalNorm(self.use_sn, self.dtype)(h, z, train)
-        h = jax.nn.relu(h)
+        h = cn(h)(h, z, train)
+        h = act(h)
         h = SNConv(mid, 3, self.use_sn, dtype=self.dtype)(h, train)
-        h = ConditionalNorm(self.use_sn, self.dtype)(h, z, train)
-        h = jax.nn.relu(h)
+        h = cn(h)(h, z, train)
+        h = act(h)
         h = SNConv(self.features, 1, self.use_sn, dtype=self.dtype)(h, train)
         return h + x
 
@@ -192,14 +210,17 @@ class DBlock(nn.Module):
     features: int
     downsample: bool = True
     use_sn: bool = True
+    act_name: str = 'relu'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from animeface_tpu.nnutils.module import get_activation
+        act = get_activation(self.act_name)
         in_ch = x.shape[-1]
-        h = jax.nn.relu(x)
+        h = act(x)
         h = SNConv(self.features, 3, self.use_sn, dtype=self.dtype)(h, train)
-        h = jax.nn.relu(h)
+        h = act(h)
         h = SNConv(self.features, 3, self.use_sn, dtype=self.dtype)(h, train)
         if self.downsample:
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
@@ -217,19 +238,22 @@ class DBlockDeep(nn.Module):
     downsample: bool = True
     use_sn: bool = True
     channel_ratio: int = 4
+    act_name: str = 'relu'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from animeface_tpu.nnutils.module import get_activation
+        act = get_activation(self.act_name)
         in_ch = x.shape[-1]
         mid = self.features // self.channel_ratio
-        h = jax.nn.relu(x)
+        h = act(x)
         h = SNConv(mid, 1, self.use_sn, dtype=self.dtype)(h, train)
-        h = jax.nn.relu(h)
+        h = act(h)
         h = SNConv(mid, 3, self.use_sn, dtype=self.dtype)(h, train)
-        h = jax.nn.relu(h)
+        h = act(h)
         h = SNConv(mid, 3, self.use_sn, dtype=self.dtype)(h, train)
-        h = jax.nn.relu(h)
+        h = act(h)
         if self.downsample:
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
@@ -287,11 +311,34 @@ class LambdaLayer(nn.Module):
         return (y_c + y_p).reshape(B, H, W, self.heads * vs)
 
 
+class SqueezeExcitation(nn.Module):
+    '''SE channel gating (SEBigGAN's NonLocal 'se', reference
+    original/SEBigGAN/model.py:350): pool -> fc/16 -> relu -> fc -> sigmoid,
+    SN'd bias-free linears.'''
+    use_sn: bool = True
+    reduction: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        C = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2))
+        s = SNDense(max(1, C // self.reduction), self.use_sn, False,
+                    self.dtype)(s, train)
+        s = jax.nn.relu(s)
+        s = SNDense(C, self.use_sn, False, self.dtype)(s, train)
+        s = jax.nn.sigmoid(s.astype(jnp.float32))
+        return x * s[:, None, None, :].astype(x.dtype)
+
+
 def make_attention(att_name: str, use_sn: bool, dtype):
-    '''reference Attention() dispatch :345.'''
-    assert att_name in ('sa', 'll'), att_name
+    '''reference Attention() dispatch :345 (+ SEBigGAN's 'se' NonLocal,
+    original/SEBigGAN/model.py:371).'''
+    assert att_name in ('sa', 'll', 'se'), att_name
     if att_name == 'll':
         return LambdaLayer(use_sn, dtype=dtype)
+    if att_name == 'se':
+        return SqueezeExcitation(use_sn, dtype=dtype)
     return SelfAttention(use_sn, dtype=dtype)
 
 
@@ -330,10 +377,14 @@ class Generator(nn.Module):
     use_sn: bool = True
     use_attention: bool = True
     att_name: str = 'sa'
+    norm_name: str = 'bn'
+    act_name: str = 'relu'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z, train: bool = True):
+        from animeface_tpu.nnutils.module import get_activation
+        act = get_activation(self.act_name)
         gen, _ = _arch(self.image_size, self.deep)
         ch = self.channels
         x = SNDense(4 * 4 * gen['inm'][0] * ch, self.use_sn,
@@ -343,6 +394,7 @@ class Generator(nn.Module):
         for out_mul, up, resl in zip(gen['out'], gen['up'], gen['resl']):
             block = GBlockDeep if self.deep else GBlock
             x = block(out_mul * ch, up, self.use_sn,
+                      norm_name=self.norm_name, act_name=self.act_name,
                       dtype=self.dtype)(x, z, train)
             if resl == gen['att'] and not att_done:
                 att_done = True
@@ -350,7 +402,7 @@ class Generator(nn.Module):
                                    self.dtype)(x, train)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype)(x)
-        x = jax.nn.relu(x)
+        x = act(x)
         x = SNConv(3, 3, self.use_sn, dtype=self.dtype)(x, train)
         return jnp.tanh(x.astype(jnp.float32))
 
@@ -362,10 +414,13 @@ class Discriminator(nn.Module):
     use_sn: bool = True
     use_attention: bool = True
     att_name: str = 'sa'
+    act_name: str = 'relu'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from animeface_tpu.nnutils.module import get_activation
+        act = get_activation(self.act_name)
         _, dis = _arch(self.image_size, self.deep)
         ch = self.channels
         x = x.astype(self.dtype)
@@ -380,14 +435,14 @@ class Discriminator(nn.Module):
             else:
                 block = DBlockDeep if self.deep else DBlock
                 x = block(out_mul * ch, down, self.use_sn,
-                          dtype=self.dtype)(x, train)
+                          act_name=self.act_name, dtype=self.dtype)(x, train)
             # attention after the LAST block at the attention resl (ref :539)
             nxt = dis['resl'][i + 1] if i + 1 < n_blocks else -1
             if resl == dis['att'] and nxt != dis['att'] and not att_done:
                 att_done = True
                 x = make_attention(self.att_name, self.use_sn,
                                    self.dtype)(x, train)
-        x = jax.nn.relu(x)
+        x = act(x)
         x = jnp.sum(x, axis=(1, 2))    # global sum pool
         x = SNDense(1, self.use_sn, dtype=self.dtype)(x, train)
         return x.astype(jnp.float32)

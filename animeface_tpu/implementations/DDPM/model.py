@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from animeface_tpu.nnutils.module import get_activation
+
 
 def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
     steps = np.arange(timesteps + 1, dtype=np.float64)
@@ -123,22 +125,51 @@ class TimeEmbedding(nn.Module):
         return jnp.concatenate([jnp.sin(sinusoid), jnp.cos(sinusoid)], axis=-1)
 
 
+def _norm(name, c, affine=True):
+    '''Reference get_normalization (model.py:154): gn | in ('bn' would need
+    cross-step running stats in a scan-based sampler; unsupported here).'''
+    if name == 'gn':
+        return nn.GroupNorm(num_groups=min(32, c), use_bias=affine,
+                            use_scale=affine)
+    if name == 'in':
+        return nn.GroupNorm(num_groups=c, use_bias=affine, use_scale=affine)
+    raise Exception(f'NORM : {name} (bn unsupported in the TPU port)')
+
+
 class ResBlock(nn.Module):
-    '''GN -> swish -> conv, + time-projection, GN -> swish -> conv, skip (:206).'''
+    '''norm -> act -> conv, + time (additive or affine), norm -> act ->
+    dropout -> conv, skip (reference ResBlock :205-256). `time_affine` makes
+    the time projection emit (gamma, beta) modulating an affine-free norm2
+    with 1e-10-scaled init (reference :214-220,242-246).'''
     features: int
+    time_affine: bool = False
+    norm_name: str = 'gn'
+    act_name: str = 'swish'
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb):
-        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]))(x)
-        h = jax.nn.silu(h)
+    def __call__(self, x, temb, train: bool = True):
+        act = get_activation(self.act_name)
+        h = _norm(self.norm_name, x.shape[-1])(x)
+        h = act(h)
         h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=_scaled_init())(h)
-        tproj = nn.Dense(self.features, dtype=self.dtype,
-                         kernel_init=_scaled_init())(jax.nn.silu(temb))
-        h = h + tproj[:, None, None, :].astype(h.dtype)
-        h = nn.GroupNorm(num_groups=min(32, self.features))(h)
-        h = jax.nn.silu(h)
+        if self.time_affine:
+            t = nn.Dense(self.features * 2, dtype=self.dtype,
+                         kernel_init=_scaled_init(1e-10))(act(temb))
+            gamma, beta = jnp.split(t[:, None, None, :].astype(h.dtype), 2,
+                                    axis=-1)
+            h = (1 + gamma) * _norm(self.norm_name, self.features,
+                                    affine=False)(h) + beta
+        else:
+            tproj = nn.Dense(self.features, dtype=self.dtype,
+                             kernel_init=_scaled_init())(act(temb))
+            h = h + tproj[:, None, None, :].astype(h.dtype)
+            h = _norm(self.norm_name, self.features)(h)
+        h = act(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=_scaled_init(1e-10))(h)
         if x.shape[-1] != self.features:
@@ -150,13 +181,14 @@ class ResBlock(nn.Module):
 class SelfAttention(nn.Module):
     '''Full spatial self-attention (:257); QKV as one 1x1 conv, MXU einsums.'''
     num_heads: int = 4
+    norm_name: str = 'gn'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         hd = C // self.num_heads
-        h = nn.GroupNorm(num_groups=min(32, C))(x)
+        h = _norm(self.norm_name, C)(x)
         qkv = nn.Conv(C * 3, (1, 1), use_bias=False, dtype=self.dtype,
                       kernel_init=_scaled_init())(h)
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, hd)
@@ -176,36 +208,48 @@ class ResSABlock(nn.Module):
     use_attn: bool = False
     num_blocks: int = 1
     attn_heads: int = 8
+    time_affine: bool = False
+    norm_name: str = 'gn'
+    act_name: str = 'swish'
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb):
+    def __call__(self, x, temb, train: bool = True):
         for _ in range(self.num_blocks):
-            x = ResBlock(self.features, dtype=self.dtype)(x, temb)
+            x = ResBlock(self.features, self.time_affine, self.norm_name,
+                         self.act_name, self.dropout,
+                         dtype=self.dtype)(x, temb, train)
         if self.use_attn:
-            x = SelfAttention(self.attn_heads, dtype=self.dtype)(x)
+            x = SelfAttention(self.attn_heads, self.norm_name,
+                              dtype=self.dtype)(x)
         return x
 
 
 class UNet(nn.Module):
     '''Time-conditioned UNet (reference UNet :331).'''
     image_size: int = 128
-    bottom: int = 8
+    bottom: int = 16
     in_channels: int = 3
     channels: int = 32
     attn_resls: Sequence[int] = (16,)
     attn_heads: int = 8
+    time_affine: bool = False
+    dropout: float = 0.0
     num_res: int = 1
+    norm_name: str = 'gn'
+    act_name: str = 'swish'
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t):
+    def __call__(self, x, t, train: bool = True):
         num_sampling = int(math.log2(self.image_size) - math.log2(self.bottom))
         ch = self.channels
+        act = get_activation(self.act_name)
 
         temb = TimeEmbedding(ch)(t)
         temb = nn.Dense(ch * 4, dtype=self.dtype, kernel_init=_scaled_init())(temb)
-        temb = jax.nn.silu(temb)
+        temb = act(temb)
         temb = nn.Dense(ch * 4, dtype=self.dtype, kernel_init=_scaled_init())(temb)
 
         h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
@@ -218,31 +262,37 @@ class UNet(nn.Module):
             resl //= 2
             c *= 2
             h = ResSABlock(c, resl in self.attn_resls, self.num_res,
-                           self.attn_heads, dtype=self.dtype)(h, temb)
+                           self.attn_heads, self.time_affine, self.norm_name,
+                           self.act_name, self.dropout,
+                           dtype=self.dtype)(h, temb, train)
             skips.append(h)
             if i != num_sampling - 1:
                 h = nn.Conv(c, (3, 3), strides=2, padding=1, dtype=self.dtype,
                             kernel_init=_scaled_init())(h)
 
         h = ResSABlock(c, True, self.num_res, self.attn_heads,
-                       dtype=self.dtype)(h, temb)
+                       self.time_affine, self.norm_name, self.act_name,
+                       self.dropout, dtype=self.dtype)(h, temb, train)
         h = ResSABlock(c, False, self.num_res, self.attn_heads,
-                       dtype=self.dtype)(h, temb)
+                       self.time_affine, self.norm_name, self.act_name,
+                       self.dropout, dtype=self.dtype)(h, temb, train)
 
         for i in range(num_sampling):
             resl *= 2
             c //= 2
             h = jnp.concatenate([h, skips.pop()], axis=-1)
             h = ResSABlock(c, resl in self.attn_resls, self.num_res,
-                           self.attn_heads, dtype=self.dtype)(h, temb)
+                           self.attn_heads, self.time_affine, self.norm_name,
+                           self.act_name, self.dropout,
+                           dtype=self.dtype)(h, temb, train)
             if i != num_sampling - 1:
                 N, H, W, C = h.shape
                 h = jax.image.resize(h, (N, H * 2, W * 2, C), method='bilinear')
                 h = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
                             kernel_init=_scaled_init())(h)
 
-        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]))(h)
-        h = jax.nn.silu(h)
+        h = _norm(self.norm_name, h.shape[-1])(h)
+        h = act(h)
         h = nn.Conv(self.in_channels, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=_scaled_init(1e-10))(h)
         return h.astype(jnp.float32)

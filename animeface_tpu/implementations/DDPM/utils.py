@@ -18,13 +18,14 @@ from animeface_tpu.dataset import build_loader
 
 def build_train_step(model, diffusion, tx, ema_decay=0.999):
     def train_step(state, real):
-        rng, tkey, nkey = jax.random.split(state['rng'], 3)
+        rng, tkey, nkey, dkey = jax.random.split(state['rng'], 4)
         B = real.shape[0]
         t = jax.random.randint(tkey, (B,), 0, diffusion.timesteps)
 
         def loss_fn(params):
             x_noisy, noise = diffusion.q_sample(nkey, real, t)
-            pred = model.apply({'params': params}, x_noisy, t)
+            pred = model.apply({'params': params}, x_noisy, t, train=True,
+                               rngs={'dropout': dkey})
             return jnp.mean((pred - noise) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state['params'])
@@ -44,8 +45,10 @@ def train(args, max_iters, loader):
 
     model = UNet(image_size=args.image_size, bottom=args.bottom,
                  in_channels=args.image_channels, channels=args.channels,
-                 attn_resls=tuple(args.attn_resls), attn_heads=args.attn_heads,
-                 num_res=args.num_res, dtype=accel.compute_dtype)
+                 attn_resls=tuple(args.attn_resls), attn_heads=args.attn_head,
+                 time_affine=args.time_affine, dropout=args.dropout,
+                 num_res=args.num_res, norm_name=args.norm_name,
+                 act_name=args.act_name, dtype=accel.compute_dtype)
     diffusion = GaussianDiffusion(args.timesteps)
 
     variables = model.init(
@@ -65,29 +68,41 @@ def train(args, max_iters, loader):
 
     @jax.jit
     def sample_fn(state):
-        model_fn = lambda x, t: model.apply({'params': state['ema']}, x, t)
+        model_fn = lambda x, t: model.apply({'params': state['ema']}, x, t,
+                                            train=False)
         return diffusion.p_sample_loop(sample_key, model_fn, test_shape)
 
+    # reference samples on a SLOWER cadence than checkpointing because the
+    # T-step ancestral loop is expensive (utils.py:18 `sample=1000` arg)
     return run_training(
         name='DDPM', args=args, accel=accel, state=state, loader=loader,
         train_step=train_step, sample_fn=sample_fn,
         max_iters=max_iters, save_interval=args.save,
+        sample_interval=args.sample,
         ema_params_path=lambda s: s['ema'],
     )
 
 
 def main(parser):
+    # reference add_args schema (utils.py:75-96), verbatim
     parser = add_args(parser, dict(
-        num_test=[16, 'number of images to generate for eval'],
+        num_test=[16, 'number of test smaples'],
         image_channels=[3, 'image channels'],
-        bottom=[8, 'bottom resolution of UNet'],
-        channels=[32, 'channel width multiplier'],
-        attn_resls=[[16], 'resolutions to apply self-attention'],
-        attn_heads=[8, 'attention heads'],
-        num_res=[1, 'res blocks per resolution'],
-        timesteps=[1000, 'diffusion timesteps'],
+        bottom=[16, 'bottom width'],
+        channels=[32, 'channel width mutiplier'],
+        attn_resls=[[16], 'resolution to apply attention'],
+        attn_head=[8, 'heads for MHA'],
+        time_affine=[False, 'adaptive normalization'],
+        dropout=[0., 'dropout'],
+        num_res=[1, 'number of residual blocks in one resolution'],
+        norm_name=['gn', 'normalization layer name'],
+        act_name=['swish', 'activation layer name'],
+        timesteps=[1000, 'number of time steps in forward/backward '
+                         'diffusion process'],
         lr=[2e-5, 'learning rate'],
-        betas=[[0.9, 0.999], 'adam betas'],
+        betas=[[0.9, 0.999], 'betas'],
+        sample=[10000, 'sample very. inference takes time hence different '
+                       'arg for testing.'],
     ))
     args = parser.parse_args()
     save_args(args)

@@ -89,12 +89,14 @@ def train(args, max_iters, loader):
                   channels=args.g_channels, max_channels=args.g_max_channels,
                   interp_size=args.interp_size,
                   image_channels=args.image_channels, bottom=args.g_bottom,
-                  dtype=accel.compute_dtype)
+                  norm_name=args.norm_name, transposed=args.transposed,
+                  num_sle=args.num_sle, dtype=accel.compute_dtype)
     D = Discriminator(image_size=args.image_size,
                       init_down_size=min(args.init_down_size, args.image_size),
                       image_channels=args.image_channels,
                       channels=args.d_channels,
-                      max_channels=args.d_max_channels, bottom=args.d_bottom,
+                      max_channels=args.d_max_channels,
+                      norm_name=args.norm_name, bottom=args.d_bottom,
                       decoder_image_size=min(args.decoder_image_size,
                                              args.image_size),
                       dtype=accel.compute_dtype)
@@ -151,6 +153,9 @@ def main(parser):
         g_max_channels=[512, 'G maximum channel width'],
         interp_size=[4, 'SLE squeeze size'],
         g_bottom=[4, 'G bottom resolution'],
+        norm_name=['bn', 'normlization name'],
+        transposed=[False, 'use ConvTransposed2d instead of Upsample'],
+        num_sle=[int, 'number of sle blocks'],
         d_channels=[32, 'D minimum channel width'],
         d_max_channels=[512, 'D maximum channel width'],
         d_bottom=[8, 'D bottom resolution'],

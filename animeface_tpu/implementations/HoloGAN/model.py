@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from animeface_tpu.nnutils.module import get_activation
+
 
 def _n002():
     return nn.initializers.normal(0.02)
@@ -87,6 +89,7 @@ def rotation_theta(angles):
 class AdaIN(nn.Module):
     '''Instance norm (over all spatial dims) + z-conditional scale/bias
     (reference AdaIN3d :36 / AdaIN2d :65).'''
+    activation: str = 'lrelu'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -98,7 +101,7 @@ class AdaIN(nn.Module):
         xn = (x - mean) * jax.lax.rsqrt(var + 1e-5)
         sb = nn.Dense(C * 2, kernel_init=_n002())(
             noise.astype(jnp.float32))
-        sb = jax.nn.leaky_relu(sb, 0.2)
+        sb = get_activation(self.activation)(sb)
         scale, bias = jnp.split(sb, 2, axis=-1)
         shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
         return xn * scale.reshape(shape).astype(x.dtype) \
@@ -115,10 +118,12 @@ class Generator(nn.Module):
     noise_channels: int = 128
     const_size: int = 4
     image_size: int = 128
+    activation: str = 'lrelu'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z, theta):
+        act = get_activation(self.activation)
         B = z.shape[0]
         c = self.channels
         const = self.param('const_noise', nn.initializers.normal(1.0),
@@ -131,8 +136,8 @@ class Generator(nn.Module):
             x = _up3d(x)
             x = nn.Conv(c, (3, 3, 3), padding=1, kernel_init=_n002(),
                         dtype=self.dtype)(x)
-            x = AdaIN(self.dtype)(x, z)
-            x = jax.nn.leaky_relu(x, 0.2)
+            x = AdaIN(self.activation, self.dtype)(x, z)
+            x = act(x)
         # rigid rotation
         grid = make_rotation_grid(theta, x.shape)
         x = grid_sample_3d(x, grid)
@@ -141,13 +146,13 @@ class Generator(nn.Module):
             c //= 2 if _ == 0 else 1
             x = nn.Conv(c, (3, 3, 3), padding=1, kernel_init=_n002(),
                         dtype=self.dtype)(x)
-            x = jax.nn.leaky_relu(x, 0.2)
+            x = act(x)
         # collapse depth: [B,D,H,W,C] -> [B,H,W,D*C]
         N, D, H, W, C = x.shape
         x = x.transpose(0, 2, 3, 1, 4).reshape(N, H, W, D * C)
         x = nn.Conv((D * C) // 2, (1, 1), kernel_init=_n002(),
                     dtype=self.dtype)(x)
-        x = jax.nn.leaky_relu(x, 0.2)
+        x = act(x)
         c2 = (D * C) // 2
         num_ups = int(np.log2(self.image_size)
                       - np.log2(self.const_size * 4))
@@ -157,8 +162,8 @@ class Generator(nn.Module):
             x = jax.image.resize(x, (N2, H2 * 2, W2 * 2, C2), method='nearest')
             x = nn.Conv(c2, (4, 4), padding='SAME', kernel_init=_n002(),
                         dtype=self.dtype)(x)
-            x = AdaIN(self.dtype)(x, z)
-            x = jax.nn.leaky_relu(x, 0.2)
+            x = AdaIN(self.activation, self.dtype)(x, z)
+            x = act(x)
         x = nn.Conv(3, (3, 3), padding=1, kernel_init=_n002(),
                     dtype=self.dtype)(x)
         return jnp.tanh(x.astype(jnp.float32))
@@ -168,17 +173,19 @@ class Discriminator(nn.Module):
     channels: int = 64
     noise_channels: int = 128
     image_size: int = 128
+    activation: str = 'lrelu'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        act = get_activation(self.activation)
         c = self.channels
         conv = nn.SpectralNorm(nn.Conv(c, (5, 5), strides=(2, 2),
                                        padding='SAME',
                                        kernel_init=_n002(),
                                        dtype=self.dtype))
         x = conv(x.astype(self.dtype), update_stats=train)
-        x = jax.nn.leaky_relu(x, 0.2)
+        x = act(x)
         style_logits = []
         for _ in range(4):
             c *= 2
@@ -194,10 +201,10 @@ class Discriminator(nn.Module):
             var = jnp.var(x, axis=(1, 2)).astype(jnp.float32)
             style = jnp.concatenate([mean, var], axis=0)
             style_logits.append(nn.Dense(1, kernel_init=_n002())(style))
-            x = jax.nn.leaky_relu(x, 0.2)
+            x = act(x)
         feat = x.reshape(x.shape[0], -1).astype(jnp.float32)
         rf = nn.Dense(1, kernel_init=_n002())(feat)
         z = nn.Dense(128, kernel_init=_n002())(feat)
-        z = jax.nn.leaky_relu(z, 0.2)
+        z = get_activation(self.activation)(z)
         z = jnp.tanh(nn.Dense(self.noise_channels, kernel_init=_n002())(z))
         return rf, style_logits, z

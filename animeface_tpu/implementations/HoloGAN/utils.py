@@ -17,6 +17,7 @@ from animeface_tpu.utils import add_args, save_args
 from animeface_tpu.nnutils import KeyGen, sample_unoise
 from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import GANLoss
+from animeface_tpu.nnutils.diffaugment import diff_augment
 from animeface_tpu.nnutils.trainer import run_training, default_max_iters
 from animeface_tpu.dataset import build_loader
 
@@ -30,14 +31,29 @@ def sample_angles(key, batch, minmax_deg=(0, 0, 220, 320, 0, 0)):
     return jnp.stack([ax, ay, az], axis=-1)
 
 
-def build_train_step(G, D, g_tx, d_tx, loss, style_lambda, identity_lambda):
+def linspace_angles(num, minmax_deg=(0, 0, 220, 320, 0, 0)):
+    '''Reference gen_theta(random=False) (utils.py:53-65): angles swept
+    min -> max across the eval batch.'''
+    r = [math.radians(v) for v in minmax_deg]
+    ax = jnp.linspace(r[0], r[1], num)
+    ay = jnp.linspace(r[2], r[3], num)
+    az = jnp.linspace(r[4], r[5], num)
+    return jnp.stack([ax, ay, az], axis=-1)
+
+
+def build_train_step(G, D, g_tx, d_tx, loss, policy, style_lambda,
+                     identity_lambda):
     def train_step(state, real):
-        rng, zkey, akey = jax.random.split(state['rng'], 3)
+        rng, zkey, akey, augkey = jax.random.split(state['rng'], 4)
         B = real.shape[0]
         z = sample_unoise(zkey, (B, G.noise_channels), -1.0, 1.0)
         theta = rotation_theta(sample_angles(akey, B))
 
+        # reference augments real AND fake before D (utils.py:134,146)
+        k1, k2 = jax.random.split(augkey)
+        real = diff_augment(k1, real, policy)
         fake = G.apply({'params': state['G']}, z, theta)
+        fake = diff_augment(k2, fake, policy)
         fake_sg = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
@@ -61,16 +77,16 @@ def build_train_step(G, D, g_tx, d_tx, loss, style_lambda, identity_lambda):
         d_params = optax.apply_updates(state['D']['params'], d_up)
 
         def g_loss_fn(g_params):
+            # reference G phase reuses the SAME augmented fake (utils.py:166)
+            # and has NO style term — adv + identity only (utils.py:167-172)
             fake2 = G.apply({'params': g_params}, z, theta)
-            (fake_rf, fake_styles, z_rec), _ = D.apply(
+            fake2 = diff_augment(k2, fake2, policy)
+            (fake_rf, _, z_rec), _ = D.apply(
                 {'params': d_params, **d_mut}, fake2, train=True,
                 mutable=['batch_stats'])
             adv = loss.g_loss(fake_rf)
-            style = 0.0
-            for fs in fake_styles:
-                style = style + loss.real_loss(fs)
             ident = jnp.mean((z_rec - z) ** 2)
-            return adv + style * style_lambda + ident * identity_lambda
+            return adv + ident * identity_lambda
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state['G'])
         g_up, g_opt = g_tx.update(g_grads, state['g_opt'], state['G'])
@@ -87,13 +103,15 @@ def train(args, max_iters, loader):
     accel = Accelerator(mesh_shape=tuple(args.mesh), bf16=not args.no_bf16)
     keys = KeyGen(args.seed)
 
-    G = Generator(channels=args.channels, noise_channels=args.noise_channels,
-                  image_size=args.image_size, dtype=accel.compute_dtype)
+    G = Generator(channels=args.g_channels, noise_channels=args.latent_dim,
+                  image_size=args.image_size, activation=args.activation,
+                  dtype=accel.compute_dtype)
     D = Discriminator(channels=args.d_channels,
-                      noise_channels=args.noise_channels,
-                      image_size=args.image_size, dtype=accel.compute_dtype)
+                      noise_channels=args.latent_dim,
+                      image_size=args.image_size, activation=args.activation,
+                      dtype=accel.compute_dtype)
 
-    z0 = jnp.zeros((2, args.noise_channels))
+    z0 = jnp.zeros((2, args.latent_dim))
     theta0 = rotation_theta(jnp.zeros((2, 3)))
     g_vars = G.init(keys(), z0, theta0)
     d_vars = D.init(keys(), jnp.zeros((2, args.image_size, args.image_size, 3)),
@@ -108,10 +126,13 @@ def train(args, max_iters, loader):
                  d_opt=d_tx.init(d_vars['params']), step=jnp.int32(0))
 
     train_step = accel.jit_step(build_train_step(
-        G, D, g_tx, d_tx, GANLoss(), args.style_lambda, args.identity_lambda))
+        G, D, g_tx, d_tx, GANLoss(), args.policy, args.style_lambda,
+        args.identity_lambda))
 
-    const_z = sample_unoise(keys(), (16, args.noise_channels), -1.0, 1.0)
-    const_theta = rotation_theta(sample_angles(keys(), 16))
+    # reference eval: ONE z repeated, angles swept min->max (utils.py:117-121)
+    const_z = jnp.tile(sample_unoise(keys(), (1, args.latent_dim), -1.0, 1.0),
+                       (args.eval_size, 1))
+    const_theta = rotation_theta(linspace_angles(args.eval_size))
 
     @jax.jit
     def sample_fn(state):
@@ -120,20 +141,24 @@ def train(args, max_iters, loader):
     return run_training(
         name='HoloGAN', args=args, accel=accel, state=state, loader=loader,
         train_step=train_step, sample_fn=sample_fn,
-        max_iters=max_iters, save_interval=args.save,
+        max_iters=max_iters, save_interval=args.save, nrow=10,
         ema_params_path=lambda s: s['G'],
     )
 
 
 def main(parser):
+    # reference add_args schema (utils.py:215-226), verbatim
     parser = add_args(parser, dict(
-        channels=[512, 'G 3D channel width'],
-        noise_channels=[128, 'noise dimension'],
-        d_channels=[64, 'D channel width'],
+        g_channels=[512, 'base channel width'],
+        d_channels=[64, 'base channel width'],
+        latent_dim=[128, 'input latent dimension'],
+        activation=['lrelu', 'activation function name'],
         lr=[0.0001, 'learning rate'],
         betas=[[0.5, 0.999], 'betas'],
+        policy=['color,translation', 'policy for diffaugment'],
         style_lambda=[1., 'lambda for style loss'],
         identity_lambda=[1., 'lambda for identity loss'],
+        eval_size=[10, 'number of samples for eval'],
     ))
     args = parser.parse_args()
     save_args(args)

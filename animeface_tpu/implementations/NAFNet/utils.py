@@ -101,19 +101,25 @@ def run_restoration(name, args, G, D, loader, test_batch, max_iters):
 
 def main(parser):
     from animeface_tpu.implementations.NAFNet.model import NAFNet, Discriminator
+    # reference add_args schema (utils.py:88-106), verbatim (+num_test)
     parser = add_args(parser, dict(
         num_test=[4, 'eval samples'],
+        image_channels=[3],
         bottom=[16, 'bottom width'],
         g_channels=[64, 'minimum channel width'],
         blocks_per_scale=[2, 'NAF blocks per scale'],
-        mid_blocks=[6, 'NAF blocks at the bottom'],
-        mlp_ratio=[1, 'MLP expansion ratio'],
-        num_layers=[3, 'D layers'],
-        d_channels=[64, 'D channel width'],
-        max_channels=[512, 'max channels'],
+        mid_blocks=[6, 'number of NAF blocks in bottom'],
+        mlp_ratio=[1, 'ratio for MLP, like in Transformers.'],
+        g_norm_name=['ln', 'normalization layer name'],
+        g_act_name=[str, 'activation function name. Sigmoid==GLU'],
+        num_layers=[3, 'number of layers'],
+        d_channels=[64, 'minimum channel width'],
+        max_channels=[512, 'maximum channel width'],
+        d_norm_name=['bn', 'normalization layer name'],
+        d_act_name=['lrelu', 'activation function name'],
         lr=[0.0002, 'learning rate'],
         betas=[[0.5, 0.999], 'betas'],
-        pixel_lambda=[10., 'lambda for pixel L1'],
+        pixel_lambda=[10., 'lambda for pixel-wise loss'],
     ))
     args = parser.parse_args()
     save_args(args)
@@ -131,7 +137,11 @@ def main(parser):
                channels=args.g_channels, max_channels=args.max_channels,
                blocks_per_scale=args.blocks_per_scale,
                mid_blocks=args.mid_blocks, mlp_ratio=args.mlp_ratio,
-               in_channels=line_ch, dtype=dtype)
+               norm_name=args.g_norm_name, act_name=args.g_act_name,
+               in_channels=line_ch, out_channels=args.image_channels,
+               dtype=dtype)
     D = Discriminator(num_layers=args.num_layers, channels=args.d_channels,
-                      max_channels=args.max_channels, dtype=dtype)
+                      max_channels=args.max_channels,
+                      norm_name=args.d_norm_name, act_name=args.d_act_name,
+                      dtype=dtype)
     run_restoration('NAFNet', args, G, D, loader, test_batch, max_iters)

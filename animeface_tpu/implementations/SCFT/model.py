@@ -253,4 +253,7 @@ class Discriminator(nn.Module):
             x = get_activation(self.act_name)(x)
             feats.append(x)
         logits = conv(x, 1, 1)
+        assert logits.shape[1] > 0 and logits.shape[2] > 0, (
+            f'{logits.shape}: patch grid collapsed — the reference D '
+            'is sized for 128px; raise image_size or lower num_layers')
         return logits.astype(jnp.float32), feats

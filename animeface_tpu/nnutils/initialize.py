@@ -18,6 +18,7 @@ from flax import linen as nn
 _REGISTRY = {
     'N01':     nn.initializers.normal(stddev=1.0),
     'N002':    nn.initializers.normal(stddev=0.02),
+    'ortho':   nn.initializers.orthogonal(),
     'xavier':  nn.initializers.xavier_normal(),
     'kaiming': nn.initializers.kaiming_normal(),
     'zeros':   nn.initializers.zeros_init(),

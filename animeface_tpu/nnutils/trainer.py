@@ -70,6 +70,7 @@ def run_training(
     checkpoint_keep: int = 3,
     nrow: int = 4,
     on_step_end: Callable | None = None,      # (state, status) -> state hook
+    sample_interval: int | None = None,       # sample cadence if != save
 ):
     out_dir = result_dir(name)
     if status is None:
@@ -89,7 +90,9 @@ def run_training(
         status.print(f'[resume] from {resume_dir} @ step {status.batches_done}')
     state = accel.prepare(state)
 
-    def save_snapshot(state):
+    sample_interval_ = sample_interval or save_interval
+
+    def save_snapshot(state, do_sample=True):
         step = status.batches_done
         # params-level failure detection: recipes that sanitize logged losses
         # (nan_to_num, reference behavior) can still diverge silently — probe
@@ -102,7 +105,7 @@ def run_training(
                     raise FloatingPointError(
                         f'[{name}] non-finite values in state[{key_name!r}] '
                         f'at iter {step}; aborting')
-        if sample_fn is not None:
+        if sample_fn is not None and do_sample:
             images = np.asarray(sample_fn(state))
             save_image(images, os.path.join(out_dir, f'{step}.png'), nrow=nrow)
             save_image(images, os.path.join(out_dir, 'running.jpg'), nrow=nrow)
@@ -143,7 +146,15 @@ def run_training(
         for batch in accel.iter_loader(loader):
             state, metrics = train_step(state, batch)
             if status.batches_done % save_interval == 0 and status.batches_done > 0:
-                save_snapshot(state)
+                save_snapshot(state, do_sample=(
+                    sample_interval is None
+                    or status.batches_done % sample_interval_ == 0))
+            elif sample_interval is not None and status.batches_done > 0 \
+                    and status.batches_done % sample_interval_ == 0 \
+                    and sample_fn is not None:
+                images = np.asarray(sample_fn(state))
+                save_image(images, os.path.join(
+                    out_dir, f'{status.batches_done}.png'), nrow=nrow)
             status.update(**{k: v for k, v in metrics.items()})
             if status.batches_done % guard_every == 0:
                 _check_finite()

@@ -1,0 +1,127 @@
+'''Sustained-training soak: StyleGAN2-ADA 256px, multi-thousand steps on one
+chip, with mid-run kill + `--resume` (VERDICT r2 item 4).
+
+Runs the SAME honest workload as bench.py — StyleGAN2 + on-device AugmentPipe
++ LIVE adaptive-p controller (interval 4) + lazy reg R1@16/PL@8 — but through
+`run_training`, so checkpoints, the Status loss/p history, sample grids, and
+`--resume` all behave exactly like a user training run. Synthetic data
+(structured procedural images, the dataset-free stand-in).
+
+    python scripts/soak.py --max-iters 3000 --save 500
+    # kill it half-way, then:
+    python scripts/soak.py --max-iters 3000 --save 500 \
+        --resume animeface_tpu/implementations/SOAK/result/checkpoint
+
+Evidence lands in implementations/SOAK/result/: loss.png (G/D/p curves),
+sample grids, checkpoint meta with the full loss/p history.
+'''
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update('jax_compilation_cache_dir', '/tmp/animeface_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+import jax.numpy as jnp
+
+from animeface_tpu.utils import argument
+from animeface_tpu.nnutils.accelerate import Accelerator
+from animeface_tpu.nnutils import KeyGen, sample_nnoise
+from animeface_tpu.nnutils.loss import NonSaturatingLoss
+from animeface_tpu.nnutils.ada import make_ada_pipe, ada_init_state
+from animeface_tpu.nnutils.trainer import run_training, host_step_counter
+from animeface_tpu.implementations.StyleGAN2.utils import (
+    build_models, build_train_step, make_optimizers,
+)
+from animeface_tpu.dataset import build_loader
+
+
+def main():
+    sys.argv = [sys.argv[0], 'SOAK', '--synthetic-data', *sys.argv[1:]]
+    parser = argument.get_default_parser()
+    parser = argument.add_args(parser, dict(
+        style_dim=[512], channels=[32], max_channels=[512],
+        block_num_conv=[2], map_num_layers=[8], map_lr=[0.01],
+        disable_map_norm=[False], mbsd_groups=[4], lr=[1e-3],
+        beta1=[0.], beta2=[0.99], g_k=[8], d_k=[16],
+        r1_lambda=[10.], pl_lambda=[2.],
+        ada_interval=[4], ada_target_kimg=[100],
+        ada_threshold=[0.6],
+    ))
+    parser.set_defaults(image_size=256, batch_size=128, max_iters=3000,
+                        save=500)
+    args = parser.parse_args()
+    args.image_channels = 3
+    args.policy = ''
+    args.mbsd_grouping = 'strided'
+    argument.save_args(args)
+
+    accel = Accelerator(mesh_shape=tuple(args.mesh), bf16=not args.no_bf16)
+    keys = KeyGen(args.seed)
+
+    G, D = build_models(args, accel.compute_dtype)
+    z0 = jnp.zeros((1, args.style_dim))
+    g_vars = G.init({'params': keys(), 'noise': keys(), 'mixing': keys()}, z0)
+    d_vars = D.init(keys(), jnp.zeros((1, args.image_size, args.image_size,
+                                       3)))
+    g_tx, d_tx = make_optimizers(args)
+    state = dict(
+        rng=keys(), G=g_vars['params'], D=d_vars['params'],
+        G_ema=jax.tree_util.tree_map(jnp.copy, g_vars['params']),
+        g_opt=g_tx.init(g_vars['params']), d_opt=d_tx.init(d_vars['params']),
+        pl_mean=jnp.float32(0.0), step=jnp.int32(0),
+        ada=ada_init_state(args.batch_size, interval=args.ada_interval,
+                           target_kimg=args.ada_target_kimg,
+                           threshold=args.ada_threshold),
+    )
+
+    pipe = make_ada_pipe()
+
+    def augment_fn(key, x, st):
+        return pipe(key, x, st['ada']['p'])
+
+    loss = NonSaturatingLoss()
+
+    def make_step(do_r1, do_pl):
+        return accel.jit_step(build_train_step(
+            G, D, g_tx, d_tx, loss, args.policy, args.r1_lambda,
+            args.pl_lambda, args.d_k, args.g_k, 0.999, do_r1=do_r1,
+            do_pl=do_pl, augment_fn=augment_fn, ada_enabled=True))
+
+    step_plain = make_step(False, False)
+    step_pl = make_step(False, True)
+    step_r1pl = make_step(True, True)
+    next_index = host_step_counter()
+
+    def train_step(state, batch):
+        i = next_index(state)
+        if i % args.d_k == 0:
+            return step_r1pl(state, batch)
+        if i % args.g_k == 0:
+            return step_pl(state, batch)
+        return step_plain(state, batch)
+
+    loader = build_loader(args, 'image')
+    const_z = sample_nnoise(keys(), (16, args.style_dim))
+    sample_noise_key = keys()
+
+    @jax.jit
+    def sample_fn(state):
+        images, _ = G.apply({'params': state['G_ema']}, const_z,
+                            rngs={'noise': sample_noise_key})
+        return images
+
+    run_training(
+        name='SOAK', args=args, accel=accel, state=state, loader=loader,
+        train_step=train_step, sample_fn=sample_fn,
+        max_iters=args.max_iters, save_interval=args.save,
+        ema_params_path=lambda s: s['G_ema'],
+    )
+
+
+if __name__ == '__main__':
+    main()

@@ -140,7 +140,8 @@ def test_ddpm_end_to_end(tmp_path):
     out = run_impl('DDPM', tmp_path, iters=4, image_size=16, batch=8,
                    extra_args=('--channels', '8', '--bottom', '4',
                                '--timesteps', '20', '--attn-resls', '8',
-                               '--num-test', '4'))
+                               '--num-test', '4', '--time-affine',
+                               '--dropout', '0.1'))
     check_artifacts(out)
 
 
@@ -312,8 +313,7 @@ def test_convnext_end_to_end(tmp_path):
                    extra_args=('--latent-dim', '16', '--channels', '8',
                                '--blocks-per-scale', '1',
                                '--d-depths', '1', '1', '1', '1',
-                               '--d-dims', '8', '16', '32', '64',
-                               '--gp-every', '2'))
+                               '--d-dims', '8', '16', '32', '64'))
     check_artifacts(out)
 
 
@@ -321,8 +321,8 @@ def test_convnext_end_to_end(tmp_path):
 def test_van_end_to_end(tmp_path):
     out = run_impl('VAN', tmp_path, iters=4, image_size=32, batch=8,
                    extra_args=('--latent-dim', '16', '--channels', '8',
-                               '--blocks-per-scale', '1', '--d-channels', '8',
-                               '--gp-every', '2'))
+                               '--blocks-per-scale', '1',
+                               '--layers', '1', '1', '1', '1'))
     check_artifacts(out)
 
 
@@ -437,8 +437,8 @@ def test_contrad_end_to_end(tmp_path):
 @pytest.mark.slow
 def test_hologan_end_to_end(tmp_path):
     out = run_impl('HoloGAN', tmp_path, iters=4, image_size=32, batch=8,
-                   extra_args=('--channels', '16', '--noise-channels', '8',
-                               '--d-channels', '4'))
+                   extra_args=('--g-channels', '16', '--latent-dim', '8',
+                               '--d-channels', '4', '--eval-size', '4'))
     check_artifacts(out)
 
 
@@ -455,11 +455,12 @@ def test_ugatit_end_to_end(tmp_path):
 
 @pytest.mark.slow
 def test_ganilla_end_to_end(tmp_path):
-    # 64px: the reference D's VALID k4-s2 stack needs >=64px for 3 layers
+    # 64px + num_layers 2: the reference D's VALID k4-s2 stack is sized
+    # for 128px; at 64px the default 3 layers collapse the patch grid to 0x0
     out = run_impl('GANILLA', tmp_path, iters=4, image_size=64, batch=8,
                    extra_args=('--g-channels', '4', '--hid-channels', '8',
                                '--num-feats', '1', '--d-channels', '8',
-                               '--num-test', '2'))
+                               '--num-test', '2', '--num-layers', '2'))
     check_artifacts(out)
 
 
@@ -483,10 +484,12 @@ def test_normalizations_end_to_end(tmp_path, norm):
 
 @pytest.mark.slow
 def test_scft_end_to_end(tmp_path):
-    # 64px: the reference D's VALID k4-s2 stack needs >=64px for 3 layers
+    # 64px + num_layers 2: the reference D's VALID k4-s2 stack is sized
+    # for 128px; at 64px the default 3 layers collapse the patch grid to 0x0
     out = run_impl('SCFT', tmp_path, iters=2, image_size=64, batch=8,
                    extra_args=('--enc-channels', '4', '--d-channels', '8',
-                               '--num-res-blocks', '1', '--num-test', '2'))
+                               '--num-res-blocks', '1', '--num-test', '2',
+                               '--num-layers', '2'))
     check_artifacts(out, iters=2)
 
 

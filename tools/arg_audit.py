@@ -83,6 +83,12 @@ ALLOW = {
         'extra:d_num_scale': 'backbone knob (see extras_note)',
         'extra:d_channels': 'backbone knob (see extras_note)',
     },
+    'ConvNeXt': {
+        'extra:d_depths': 'reference D constructor default (model.py:174), '
+                          'surfaced so smokes can shrink the model',
+        'extra:d_dims': 'reference D constructor default (model.py:174), '
+                        'surfaced so smokes can shrink the model',
+    },
     'PEinGAN': {
         'extra:embed_dim': 'SPE embedding width the reference hardcodes in '
                            'the model; exposed so smokes can shrink it',
