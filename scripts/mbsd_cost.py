@@ -54,6 +54,12 @@ def run(batch=128, size=256, iters=3):
         hlo = lowered.compile().as_text()
         cols = collectives(hlo)
 
+        if iters == 0:                          # compile-only: structure
+            results[grouping] = (float('nan'), cols)
+            print(f'{grouping:10s}: compile-only   '
+                  f'collectives: {cols or "none"}', flush=True)
+            continue
+
         g = step(params, x)                     # compile+warm
         jax.block_until_ready(g)
         t0 = time.perf_counter()
@@ -66,8 +72,9 @@ def run(batch=128, size=256, iters=3):
               f'collectives: {cols or "none"}', flush=True)
 
     s, c = results['strided'][0], results['contiguous'][0]
-    print(f'strided / contiguous = {s / c:.4f}x '
-          f'({(s - c) * 1e3:+.1f} ms)', flush=True)
+    if iters:
+        print(f'strided / contiguous = {s / c:.4f}x '
+              f'({(s - c) * 1e3:+.1f} ms)', flush=True)
 
 
 if __name__ == '__main__':
