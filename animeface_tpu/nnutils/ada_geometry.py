@@ -190,9 +190,8 @@ def _dihedral_normalize(x, A, u):
                    jnp.eye(2))
     A = Fs @ A
     u = jnp.einsum('bij,bj->bi', Fs, u)
-    x = jnp.where(flip[:, None, None, None], x[:, :, :, ::-1], x)
 
-    # polar rotation angle of A (det > 0 now)
+    # polar rotation angle of A (after the flip fold, det > 0)
     theta = jnp.arctan2(A[:, 1, 0] - A[:, 0, 1], A[:, 0, 0] + A[:, 1, 1])
     k = _rot90_weights(theta)
 
@@ -207,15 +206,20 @@ def _dihedral_normalize(x, A, u):
     u = jnp.einsum('bij,bj->bi', Rm, u)
 
     # canvas counterpart: sampling x at position p equals sampling
-    # rotk(x) at R(-k*90)(p - ctr) + ctr; orientation fixed by the
-    # rot90-parity test against the exact path.
-    rots = jnp.stack([x,
-                      jnp.rot90(x, 1, axes=(2, 3)),
-                      jnp.rot90(x, 2, axes=(2, 3)),
-                      jnp.rot90(x, 3, axes=(2, 3))], axis=1)
-    sel = (k[:, None, None, None, None] ==
-           jnp.arange(4)[None, :, None, None, None])
-    x = jnp.sum(jnp.where(sel, rots, 0.0), axis=1)
+    # rot90^k(flip_x^f(x)) at R(-k*90)(p - ctr) + ctr; orientation fixed by
+    # the rot90-parity test against the exact path. The composite dihedral
+    # op decomposes as [transpose if k odd] then [row reverse] then
+    # [column reverse] (rot90_1 = rev_r . T, rot90_2 = rev_r . rev_c,
+    # rot90_3 = rev_c . T, and T . rev_c = rev_r . T folds the flip in) —
+    # one materialized transpose + two fused reverse-selects instead of a
+    # 4-way rotation stack + select-sum (5 canvas round trips -> ~2).
+    odd = (k % 2) == 1
+    xt = jnp.transpose(x, (0, 1, 3, 2))
+    x = jnp.where(odd[:, None, None, None], xt, x)
+    rev_r = jnp.where(flip, (k == 2) | (k == 3), (k == 1) | (k == 2))
+    rev_c = jnp.where(flip, (k == 0) | (k == 3), (k == 2) | (k == 3))
+    x = jnp.where(rev_r[:, None, None, None], x[:, :, ::-1, :], x)
+    x = jnp.where(rev_c[:, None, None, None], x[:, :, :, ::-1], x)
     return x, A, u
 
 
