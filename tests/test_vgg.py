@@ -119,8 +119,13 @@ def test_vgg_npz_wrong_depth_raises(tmp_path):
 
 
 def test_vgg_random_fallback_is_loud(capsys):
+    from animeface_tpu.nnutils.loss import vgg as vgg_mod
     from animeface_tpu.nnutils.loss.vgg import VGGLoss
     import warnings
+    # the provenance line prints once per process (per-eval construction
+    # must not spam stderr) — reset so this test observes it even when an
+    # earlier test already constructed a random-init VGG
+    vgg_mod._ANNOUNCED.clear()
     with warnings.catch_warnings():
         warnings.simplefilter('ignore')
         loss = VGGLoss(vgg=16, weights_path=None)
