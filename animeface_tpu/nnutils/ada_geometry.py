@@ -232,6 +232,28 @@ def _cyclic_double(z, axis):
     return jnp.concatenate([z, interior], axis=axis)
 
 
+def _pass_params(slope, shear, base, cols, out_len, P, half, support):
+    '''Per-image line-pass parameters: integer cyclic shift (mod P) +
+    fractional blend per column, and the kernel matrix M at cyclic
+    distance.'''
+    cols = jnp.asarray(np.asarray(cols, np.float32))
+    shear_term = shear[:, None] * cols[None, :]                # [B, W]
+    t = jnp.floor(shear_term)
+    frac = shear_term - t                                      # [B, W]
+    tint = jnp.mod(t.astype(jnp.int32), P)                     # [B, W]
+
+    o = jnp.arange(out_len, dtype=jnp.float32)
+    j = jnp.arange(P, dtype=jnp.float32)
+    q = slope[:, None] * o[None, :] + base[:, None]            # [B, out]
+    dlt = q[:, :, None] - j[None, None, :]
+    dlt = jnp.mod(dlt + P / 2.0, float(P)) - P / 2.0           # cyclic delta
+    # K is evaluated in f32 then cast to the compute dtype: integer-position
+    # taps are exactly 0/1 in any float dtype, so separable exactness holds;
+    # bf16 training pays ~2e-3 kernel rounding, accumulated in f32 (MXU).
+    M = eval_kernel(dlt, half, support)                        # [B, out, P]
+    return tint, frac, M
+
+
 def _line_pass(z, slope, shear, base, cols, out_len, half, support):
     '''Resample along axis 1 of z [B, C, N, W] at positions
     pos(o, col) = slope[b] * o + shear[b] * cols[col] + base[b]
@@ -256,23 +278,8 @@ def _line_pass(z, slope, shear, base, cols, out_len, half, support):
 
     z2 = _cyclic_double(z, axis=2)                             # [B, C, P, W]
 
-    # per-column integer cyclic shift amounts + fractional blend weights
-    cols = jnp.asarray(np.asarray(cols, np.float32))
-    shear_term = shear[:, None] * cols[None, :]                # [B, W]
-    t = jnp.floor(shear_term)
-    frac = shear_term - t                                      # [B, W]
-    tint = jnp.mod(t.astype(jnp.int32), P)                     # [B, W]
-
-    # per-image kernel matrix at cyclic distance
-    o = jnp.arange(out_len, dtype=jnp.float32)
-    j = jnp.arange(P, dtype=jnp.float32)
-    q = slope[:, None] * o[None, :] + base[:, None]            # [B, out]
-    dlt = q[:, :, None] - j[None, None, :]
-    dlt = jnp.mod(dlt + P / 2.0, float(P)) - P / 2.0           # cyclic delta
-    # K is evaluated in f32 then cast to the compute dtype: integer-position
-    # taps are exactly 0/1 in any float dtype, so separable exactness holds;
-    # bf16 training pays ~2e-3 kernel rounding, accumulated in f32 (MXU).
-    M = eval_kernel(dlt, half, support)                        # [B, out, P]
+    tint, frac, M = _pass_params(slope, shear, base, cols, out_len, P,
+                                 half, support)
 
     if _use_fused_kernel(N, W):
         from animeface_tpu.nnutils.ada_geometry_tpu import linepass_fused
@@ -306,6 +313,18 @@ def _line_pass(z, slope, shear, base, cols, out_len, half, support):
 
     return jnp.einsum('boj,bcjw->bcow', M.astype(z.dtype), z2,
                       preferred_element_type=jnp.float32).astype(z.dtype)
+
+
+def _use_fused2(N, We):
+    '''Fully-fused two-pass kernel gate. Opt-in (ANIMEFACE_ADA_FUSED2=1)
+    until its TPU measurement lands; shape-gated to %8 sublanes and %128
+    live lanes (the bench/SOAK 256px case: We = 384). Ineligible shapes
+    fall through to the single-pass fused path.'''
+    import os
+    if N % 8 or We % 128:
+        return False
+    env = os.environ.get('ANIMEFACE_ADA_FUSED2')
+    return env is not None and env not in ('0', 'false', 'off')
 
 
 def _use_fused_kernel(N, W):
@@ -376,6 +395,28 @@ def twopass_warp(images, G_inv, half=None, support=None):
     slope_y = det / a
     cols = np.arange(We, dtype=np.float32) - E - ctr
     base_y = (uy - c * ux / a) + ctr - slope_y * ctr
+
+    if _use_fused2(N, We):
+        # fully-fused kernel: both passes VMEM-resident per image — y1 never
+        # exists in HBM and the inter-pass transpose/double/pad glue is gone
+        from animeface_tpu.nnutils.ada_geometry_tpu import twopass_fused
+        P1, P2 = 2 * N - 2, 2 * We - 2
+        t1, f1, M1 = _pass_params(slope_y, c / a, base_y, cols, N, P1,
+                                  half, support)
+        rows = np.arange(N, dtype=np.float32) - ctr
+        base_x = ux + ctr - a * ctr + E
+        t2, f2, M2 = _pass_params(a, b, base_x, rows, N, P2, half, support)
+        P1p = -(-P1 // 8) * 8
+        P2p = -(-P2 // 8) * 8
+        M1 = jnp.pad(M1, ((0, 0), (0, 0), (0, P1p - P1))).astype(x.dtype)
+        M2 = jnp.pad(M2, ((0, 0), (0, 0), (0, P2p - P2))).astype(x.dtype)
+        interpret = jax.default_backend() != 'tpu'
+        out = twopass_fused(x, t1, f1.astype(x.dtype), M1,
+                            t2, f2.astype(x.dtype), M2,
+                            P1, P2, We, N, interpret)
+        # out: [B, C, out_x, rows] -> NHWC
+        return jnp.transpose(out, (0, 3, 2, 1)).astype(in_dtype)
+
     y1 = _line_pass(x, slope_y, c / a, base_y, cols, N, half, support)
     # y1: [B, C, N(out rows), We(extended cols)]
 

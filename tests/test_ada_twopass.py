@@ -171,3 +171,34 @@ def test_fused_pallas_linepass_matches_jnp(monkeypatch):
     for r, g in zip(ref, got):
         np.testing.assert_allclose(r, g, atol=2e-6)
     np.testing.assert_allclose(gref, ggot, atol=2e-5)
+
+
+def test_fused2_twopass_matches_dense(monkeypatch):
+    '''The fully-fused two-pass kernel (twopass_fused, interpret mode here)
+    must match the dense jnp formulation — forward and gradient — at its
+    gated shape class (We % 128 == 0: 256px -> We = 384).'''
+    from animeface_tpu.nnutils.ada_geometry import twopass_warp
+
+    key = jax.random.PRNGKey(13)
+    x = jnp.clip(jax.image.resize(
+        jax.random.normal(key, (1, 16, 16, 3)), (1, 256, 256, 3), 'bilinear'),
+        -1, 1)
+    Gs = [rotate2d_inv(jnp.full((1,), 0.35)),                    # rotation
+          translate2d_inv(jnp.asarray([5.25]), jnp.asarray([-2.5])),
+          scale2d_inv(jnp.asarray([1.4]), jnp.asarray([0.8]))    # aniso
+          @ rotate2d_inv(jnp.full((1,), -1.9))]                  # dihedral+rot
+
+    monkeypatch.delenv('ANIMEFACE_ADA_FUSED2', raising=False)
+    monkeypatch.setenv('ANIMEFACE_ADA_FUSED', '0')
+    ref = [np.asarray(twopass_warp(x, G)) for G in Gs]
+    gref = np.asarray(jax.grad(
+        lambda v: jnp.sum(jnp.square(twopass_warp(v, Gs[0]))))(x))
+
+    monkeypatch.setenv('ANIMEFACE_ADA_FUSED2', '1')
+    got = [np.asarray(twopass_warp(x, G)) for G in Gs]
+    ggot = np.asarray(jax.grad(
+        lambda v: jnp.sum(jnp.square(twopass_warp(v, Gs[0]))))(x))
+
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(r, g, atol=2e-5)
+    np.testing.assert_allclose(gref, ggot, atol=2e-4)
