@@ -49,16 +49,35 @@ class checkio:
     stat = 'size'
     print_func = staticmethod(logger.debug)
 
+    _instances: 'list' = []          # weakrefs, for set_all_funcs
+
     def __init__(self, stat: str | None = None):
         self._stat = stat
+        import weakref
+        checkio._instances.append(weakref.ref(self))
+
+    @classmethod
+    def set_all_funcs(cls, stat: str):
+        '''Rewire the stat of every live checkio instance (reference
+        `nnutils/debug.py:145` collects instances via gc.get_objects(); a
+        weakref registry does the same without a full-heap scan). Takes
+        effect retroactively: wrappers resolve their stat at call time.'''
+        assert stat in ('size', 'mean', 'minmax', 'nan'), stat
+        live = []
+        for ref in cls._instances:
+            obj = ref()
+            if obj is not None:
+                obj._stat = stat
+                live.append(ref)
+        cls._instances[:] = live
+        cls.stat = stat
 
     def __call__(self, func: Callable) -> Callable:
-        stat = self._stat or type(self).stat
-
         @functools.wraps(func)
         def wrapper(*args, **kwargs):
-            indent = '  ' * checkio._depth
-            checkio._depth += 1
+            stat = self._stat or type(self).stat   # resolved per call so
+            indent = '  ' * checkio._depth         # set_all_funcs applies
+            checkio._depth += 1                    # to existing wrappers
             try:
                 ins = ', '.join(_describe(a, stat) for a in args)
                 type(self).print_func(f'{indent}-> {func.__qualname__}({ins})')

@@ -233,6 +233,14 @@ def test_checkio(capsys):
     assert len(logs) == 2
     assert '(2, 3)' in logs[0]
 
+    # set_all_funcs rewires EXISTING wrappers retroactively (reference
+    # nnutils/debug.py:145 semantics)
+    checkio.set_all_funcs('minmax')
+    logs.clear()
+    f(jnp.ones((2, 3)))
+    assert any('min=1' in line for line in logs), logs
+    checkio.set_all_funcs('size')
+
 
 def test_rand_translation_matches_gather_reference(key):
     '''dynamic-slice formulation == pointwise-gather reference semantics.'''
