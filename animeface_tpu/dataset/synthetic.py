@@ -55,7 +55,15 @@ def _face_image(rng: np.random.Generator, size: int) -> np.ndarray:
 
 
 class SyntheticImage(WrappedDataset):
-    '''Procedural single-image dataset; `image_size`, `num_images`, `seed`.'''
+    '''Procedural single-image dataset; `image_size`, `num_images`, `seed`.
+
+    Generated samples are memoized as uint8 (the precision a real decoded
+    dataset has) so sustained runs on few-core hosts pay the ~15 ms/image
+    procedural cost once per index, not once per epoch — a fixed dataset,
+    like the real thing. Cache is capped at ~8 GB; past that, cold indices
+    regenerate on the fly.'''
+
+    _CACHE_BYTES_MAX = 8 << 30
 
     def __init__(self, image_size: int, num_images: int = 2048,
                  seed: int = 0, channels: int = 3) -> None:
@@ -63,16 +71,25 @@ class SyntheticImage(WrappedDataset):
         self.num_images = num_images
         self.seed = seed
         self.channels = channels
+        self._cache: dict[int, np.ndarray] = {}
+        per_img = image_size * image_size * channels
+        self._cache_max = max(1, self._CACHE_BYTES_MAX // max(1, per_img))
 
     def __len__(self) -> int:
         return self.num_images
 
     def __getitem__(self, index) -> np.ndarray:
-        rng = np.random.default_rng(self.seed * 1_000_003 + int(index))
-        img = _face_image(rng, self.image_size)
-        if self.channels == 1:
-            img = img.mean(axis=-1, keepdims=True)
-        return img
+        idx = int(index)
+        q = self._cache.get(idx)
+        if q is None:
+            rng = np.random.default_rng(self.seed * 1_000_003 + idx)
+            img = _face_image(rng, self.image_size)
+            if self.channels == 1:
+                img = img.mean(axis=-1, keepdims=True)
+            q = np.round((img + 1.0) * 127.5).astype(np.uint8)
+            if len(self._cache) < self._cache_max:
+                self._cache[idx] = q
+        return q.astype(np.float32) / 127.5 - 1.0
 
 
 class SyntheticImageImage(WrappedDataset):

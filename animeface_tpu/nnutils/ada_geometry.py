@@ -316,15 +316,19 @@ def _line_pass(z, slope, shear, base, cols, out_len, half, support):
 
 
 def _use_fused2(N, We):
-    '''Fully-fused two-pass kernel gate. Opt-in (ANIMEFACE_ADA_FUSED2=1)
-    until its TPU measurement lands; shape-gated to %8 sublanes and %128
-    live lanes (the bench/SOAK 256px case: We = 384). Ineligible shapes
-    fall through to the single-pass fused path.'''
+    '''Fully-fused two-pass kernel gate. Default ON where the fused line
+    pass is available: measured on v5e (scripts/ada_fused2_bench.py, B=128
+    256px) at 4.72 ms fwd / 5.45 ms fwd+grad vs the single-pass path's
+    6.91 / 7.54. Shape-gated to %8 sublanes and %128 live lanes (the
+    bench/SOAK 256px case: We = 384); ineligible shapes fall through to
+    the single-pass fused path. Opt-out via ANIMEFACE_ADA_FUSED2=0.'''
     import os
     if N % 8 or We % 128:
         return False
     env = os.environ.get('ANIMEFACE_ADA_FUSED2')
-    return env is not None and env not in ('0', 'false', 'off')
+    if env is not None:
+        return env not in ('0', 'false', 'off')
+    return _use_fused_kernel(N, We)
 
 
 def _use_fused_kernel(N, W):
