@@ -150,5 +150,17 @@ def build_dataset(args, task: str = 'image'):
 def build_loader(args, task: str = 'image', batch_size: int | None = None,
                  **loader_kwargs) -> DataLoader:
     dataset = build_dataset(args, task)
+    if getattr(args, 'device_data', False):
+        import jax.numpy as jnp
+        from animeface_tpu.dataset.device import DeviceDataLoader
+        loader_kwargs.pop('num_workers', None)
+        loader_kwargs.pop('prefetch', None)
+        # bf16 training decodes to bf16 on device (models cast inputs to the
+        # compute dtype anyway; the stored data is uint8-quantized)
+        loader_kwargs.setdefault(
+            'decode_dtype',
+            jnp.float32 if getattr(args, 'no_bf16', False) else jnp.bfloat16)
+        return DeviceDataLoader(dataset, batch_size or args.batch_size,
+                                seed=getattr(args, 'seed', 0), **loader_kwargs)
     return DataLoader(dataset, batch_size or args.batch_size,
                       seed=getattr(args, 'seed', 0), **loader_kwargs)

@@ -45,6 +45,8 @@ def get_default_parser() -> ArgumentParser:
     default_args.seed           = [0, 'PRNG seed']
     default_args.data_root      = ['/usr/src/data', 'Root directory holding the datasets']
     default_args.synthetic_data = [False, 'Use procedurally generated data (no dataset required)']
+    default_args.device_data    = [False, 'Keep the whole dataset resident in device memory (uint8), '
+                                          'gather+decode batches on device; for datasets that fit HBM']
     default_args.mesh           = [[-1], 'Device mesh shape, data axis first; -1 = all devices data-parallel']
     default_args.no_bf16        = [False, 'Disable bfloat16 compute (use float32)']
     default_args.resume         = [str, 'Checkpoint directory to resume training from']

@@ -132,3 +132,56 @@ def test_unknown_dataset_raises():
     args = _args(dataset='nope', synthetic_data=False, data_root='/tmp')
     with pytest.raises(KeyError):
         build_dataset(args, 'image')
+
+
+def test_device_data_loader_matches_streaming():
+    '''DeviceDataLoader (device-resident uint8 + on-device decode) yields the
+    same epoch batches as the streaming DataLoader, within the uint8
+    quantization a decoded 8-bit dataset has anyway.'''
+    import jax.numpy as jnp
+    from animeface_tpu.dataset.device import DeviceDataLoader
+
+    ds = SyntheticImage(16, num_images=12, seed=3)
+    host = DataLoader(ds, 4, seed=7, num_workers=1)
+    dev = DeviceDataLoader(ds, 4, seed=7)
+    assert len(host) == len(dev) == 3
+    for hb, db in zip(host, dev):
+        db = np.asarray(db)
+        assert db.dtype == np.float32
+        assert np.abs(hb - db).max() <= (1.0 / 127.5) * 0.51
+    # second epoch reshuffles
+    first = [np.asarray(b) for b in dev]
+    second = [np.asarray(b) for b in dev]
+    assert not all(np.array_equal(a, b) for a, b in zip(first, second))
+
+
+def test_device_data_loader_tuple_and_labels():
+    from animeface_tpu.dataset.device import DeviceDataLoader
+
+    ds = SyntheticImageLabel(16, num_images=8, num_classes=3)
+    host = DataLoader(ds, 4, seed=0, num_workers=1)
+    dev = DeviceDataLoader(ds, 4, seed=0)
+    hb = next(iter(host))
+    db = next(iter(dev))
+    assert isinstance(db, tuple) and len(db) == len(hb)
+    img_h, lab_h = hb[0], hb[1]
+    img_d, lab_d = np.asarray(db[0]), np.asarray(db[1])
+    assert np.abs(img_h - img_d).max() <= (1.0 / 127.5) * 0.51
+    np.testing.assert_array_equal(np.asarray(lab_h), lab_d)
+
+
+def test_device_data_loader_size_cap():
+    from animeface_tpu.dataset.device import DeviceDataLoader
+
+    ds = SyntheticImage(32, num_images=8)
+    with pytest.raises(ValueError, match='too large'):
+        DeviceDataLoader(ds, 4, max_bytes=1024)
+
+
+def test_build_loader_device_data_flag():
+    from animeface_tpu.dataset.device import DeviceDataLoader
+
+    loader = build_loader(_args(num_images=8, device_data=True), 'image')
+    assert isinstance(loader, DeviceDataLoader)
+    b = np.asarray(next(iter(loader)))
+    assert b.shape == (4, 32, 32, 3)
