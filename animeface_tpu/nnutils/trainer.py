@@ -84,7 +84,18 @@ def run_training(
     resume_dir = getattr(args, 'resume', None)
     if resume_dir:
         rck = Checkpointer(resume_dir)
+        template = state
         state, meta = rck.restore(state)
+        # Free the init template's DEVICE buffers explicitly. In a fresh run
+        # the first step's donation consumes them, but on resume the restored
+        # (host) tree replaces the template while the caller's frame still
+        # references the device arrays — without this, a full params+opt+EMA
+        # copy stays resident for the whole run (measured: OOMs the b96
+        # StyleGAN2-ADA soak on resume where the fresh run fits).
+        for leaf in jax.tree_util.tree_leaves(template):
+            if isinstance(leaf, jax.Array):
+                leaf.delete()
+        del template
         if meta.get('status'):
             status.load_state_dict(meta['status'])
         status.print(f'[resume] from {resume_dir} @ step {status.batches_done}')
