@@ -39,6 +39,11 @@ class Checkpointer:
         self.directory = str(directory)
         self.max_to_keep = max_to_keep
         os.makedirs(self.directory, exist_ok=True)
+        # sweep staging dirs orphaned by a hard kill mid-save
+        for name in os.listdir(self.directory):
+            if name.startswith('.tmp-ckpt-'):
+                shutil.rmtree(os.path.join(self.directory, name),
+                              ignore_errors=True)
 
     # ---- write ----
 

@@ -20,15 +20,18 @@ sys.path.insert(0, REPO)
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    resume_steps = [int(sys.argv[i + 1]) for i, a in enumerate(sys.argv)
+                    if a == '--resume-step']
+    skip = {i + 1 for i, a in enumerate(sys.argv) if a == '--resume-step'}
+    args = [a for i, a in enumerate(sys.argv) if i > 0 and i not in skip
+            and not a.startswith('--')]
     result = args[0] if args else os.path.join(
         REPO, 'animeface_tpu', 'implementations', 'SOAK', 'result')
-    resume_step = None
-    if '--resume-step' in sys.argv:
-        resume_step = int(sys.argv[sys.argv.index('--resume-step') + 1])
 
     ckpt_dir = os.path.join(result, 'checkpoint')
-    latest = sorted(os.listdir(ckpt_dir), key=lambda n: int(n.split('-')[1]))[-1]
+    names = [n for n in os.listdir(ckpt_dir)
+             if n.startswith('ckpt-') and n.split('-')[1].isdigit()]
+    latest = sorted(names, key=lambda n: int(n.split('-')[1]))[-1]
     with open(os.path.join(ckpt_dir, latest, 'meta.json')) as f:
         meta = json.load(f)
     hist = meta['status']['loss']
@@ -54,7 +57,7 @@ def main():
         axes[1].plot(np.arange(1, len(v) + 1), v, color='tab:green', lw=0.8)
     axes[1].set_ylabel('ADA p'); axes[1].set_xlabel('step')
     axes[1].grid(alpha=0.3)
-    if resume_step:
+    for resume_step in resume_steps:
         for ax in axes:
             ax.axvline(resume_step, color='red', ls='--', lw=0.8)
         axes[0].text(resume_step, axes[0].get_ylim()[1], ' kill+resume',
@@ -83,7 +86,7 @@ mid-run and resumed with `--resume` (red line in the plot).
 * steps completed: **{step}**
 * all logged series finite: **{finite}**
 * final ADA p: **{p_final}**
-* resume seam at step: **{resume_step}**
+* resume seams at steps: **{resume_steps}**
 
 ![curves](soak_curves.png)
 
