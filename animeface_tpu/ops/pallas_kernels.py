@@ -40,12 +40,28 @@ evidence for that call.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+#: filtered_lrelu kernel variant:
+#:   'matmul' (default) the round-2 banded-MXU formulation — the band
+#:            matrices waste ~97% of MXU FLOPs on structural zeros, but
+#:            3% of the MXU's 197 TF/s still beats the VPU (measured;
+#:            PERF_NOTES.md "filtered_lrelu kernel study").
+#:   'shift'  round-3 experiment: FIR stages as outer-dim static-slice
+#:            shift-adds on the VPU, 2D overlapped tiles. Exact, and the
+#:            tiling lifts the matmul variant's divisibility limits, but
+#:            MEASURED SLOWER (64^2x512: 12.2 ms vs 6.9 matmul / 3.5 XLA;
+#:            272^2x128: 48.9 vs 11.3 XLA): ~30 multiply-adds per element
+#:            on the VPU lose to the MXU even with the 45x zero-padding
+#:            tax, and both variants carry a ~30-50 us per-tile pipeline
+#:            overhead. Kept as the measured record + scope template.
+_FLRELU_VARIANT = os.environ.get('ANIMEFACE_FLRELU_KERNEL', 'matmul')
 
 
 def _phase_taps_up(g, pad):
@@ -136,6 +152,155 @@ def _flrelu_tile(xs_slab, bias, bands, k0, *, TH, OW, H_IN, W_IN, HALO, WH,
     return out
 
 
+def _fir_outer(v, taps, start, out_len):
+    '''FIR along dim 0 via static leading-dim slices (layout-preserving):
+    out[o] = sum_t taps[t] * v[o + start + t]. Accumulates in v's dtype —
+    f32 accumulation was measured to push the compiler-materialized VMEM
+    stack past the 16M limit (3.3x the live-set estimate); the bf16 FIR
+    cascade stays within the ops' documented bf16 tolerance (~1.6e-2).'''
+    acc = None
+    for i, g in enumerate(taps):
+        sl = jax.lax.slice_in_dim(v, start + i, start + i + out_len, axis=0)
+        term = sl * v.dtype.type(g)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _flrelu_tile_shift(xs_slab, bias, k0, w0, scratch, out_ref, *, TH, TW,
+                       H_IN, W_IN, HALO, WH, slope, gain, clamp, n_d,
+                       up_h_taps, up_w_taps, dn_h_taps, dn_w_taps):
+    '''Shift-add twin of `_flrelu_tile`: identical polyphase structure, but
+    every FIR stage is a static outer-dim slice-multiply-accumulate (VPU)
+    instead of a banded matmul (MXU) — same one-transpose-per-direction-
+    change dance, ~30 real multiply-adds per element instead of ~W zero-
+    padded MXU lanes per tap. Tiles are 2D: [TH, TW] output rows x cols
+    (k0/w0 = tile origin in output coords), so big layers fit VMEM with
+    small halo amplification.
+
+    Every stage STORES into an explicit VMEM scratch buffer (`scratch`)
+    reused across the four (p, q) phases — leaving the whole unrolled
+    dataflow to Mosaic's stack allocator was measured to blow the 16M
+    scoped-vmem limit at ~5x the live-set estimate.'''
+    dt = out_ref.dtype
+    xb_s, yh_s, yt_s, y_s, accp_s, vt_s = scratch
+    slab_rows = xs_slab.shape[0]
+    slab_cols = xs_slab.shape[1]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (slab_rows, slab_cols), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (slab_rows, slab_cols), 1)
+    interior = ((row_ids + k0 >= HALO) & (row_ids + k0 < HALO + H_IN)
+                & (col_ids + w0 >= WH) & (col_ids + w0 < WH + W_IN))
+    xb_s[...] = xs_slab + (jnp.where(interior, 1.0, 0.0)[:, :, None]
+                           * bias).astype(dt)
+
+    def act(v):
+        # max/min form: bf16 compare/select is unsupported on-target
+        zero = jnp.zeros((), v.dtype)
+        v = (jnp.maximum(v, zero) + jnp.minimum(v, zero) * v.dtype.type(slope)) \
+            * v.dtype.type(gain)
+        if clamp is not None:
+            c = v.dtype.type(clamp)
+            v = jnp.minimum(jnp.maximum(v, -c), c)
+        return v
+
+    rows_y = TH + n_d
+    cols_y = TW + n_d
+    for p in (0, 1):
+        tp, op_ = up_h_taps[p]
+        yh_s[...] = _fir_outer(xb_s[...], tp, HALO + op_, rows_y)
+        yt_s[...] = jnp.transpose(yh_s[...], (1, 0, 2))   # [SW, rows_y, C]
+        for q in (0, 1):
+            tq, oq_ = up_w_taps[q]
+            y_s[...] = act(_fir_outer(yt_s[...], tq, WH + oq_, cols_y))
+            d = _fir_outer(y_s[...], dn_w_taps[q][0], 0, TW)
+            if q == 0:
+                accp_s[...] = d
+            else:
+                accp_s[...] = accp_s[...] + d             # [TW, rows_y, C]
+        vt_s[...] = jnp.transpose(accp_s[...], (1, 0, 2))
+        o = _fir_outer(vt_s[...], dn_h_taps[p][0], 0, TH)
+        if p == 0:
+            out_ref[...] = o.astype(dt)
+        else:
+            out_ref[...] = out_ref[...] + o.astype(dt)
+
+
+def _flrelu_kernel_shift(x_hbm, b_ref, o_hbm, xs, outs, xb_s, yh_s, yt_s,
+                         y_s, accp_s, vt_s, sem_in, sem_out, *,
+                         NT, NWT, TH, TW, SLAB_W, CB, H_IN, W_IN, HALO, WH,
+                         OUT_H, slope, gain, clamp, n_d,
+                         up_h_taps, up_w_taps, dn_h_taps, dn_w_taps):
+    '''Double-buffered 2D-tile pipeline per (image, channel-block): tile
+    t+1's read and tile t-1's write are in flight while tile t computes.
+    Edge tiles OVERLAP their predecessor when TH/TW do not divide the
+    output (identical recomputed values, so the double write is benign) —
+    this frees tile sizes from divisibility constraints that forced tiny
+    tiles (and 2.6-4x halo re-reads) on sizes like 272.'''
+    bidx = pl.program_id(0)
+    c0 = pl.program_id(1) * CB
+    bias = b_ref[0, :]
+
+    def origin(t):
+        # H start may overlap (outer-dim DMA starts are unconstrained);
+        # W starts must stay AFFINE in the loop index — Mosaic cannot prove
+        # a min() is a multiple of the sublane tile, so the driver pads the
+        # output width to NWT*TW instead of overlapping the last W tile.
+        # Keep the H start affine too when TH divides OUT_H.
+        ti = t // NWT
+        wi = t % NWT
+        k0 = ti * TH
+        if OUT_H % TH:
+            k0 = jnp.minimum(k0, OUT_H - TH)
+        return k0, wi * TW
+
+    def in_dma(slot, t):
+        k0, w0 = origin(t)
+        return pltpu.make_async_copy(
+            x_hbm.at[bidx, pl.ds(k0, TH + 2 * HALO), pl.ds(w0, SLAB_W),
+                     pl.ds(c0, CB)],
+            xs.at[slot], sem_in.at[slot])
+
+    def out_dma(slot, t):
+        k0, w0 = origin(t)
+        return pltpu.make_async_copy(
+            outs.at[slot], o_hbm.at[bidx, pl.ds(k0, TH), pl.ds(w0, TW),
+                                    pl.ds(c0, CB)], sem_out.at[slot])
+
+    in_dma(0, 0).start()
+    NTT = NT * NWT
+
+    def body(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < NTT)
+        def _():
+            in_dma((t + 1) % 2, t + 1).start()
+
+        in_dma(slot, t).wait()
+
+        @pl.when(t >= 2)
+        def _():
+            out_dma(slot, t - 2).wait()   # this out buffer is free again
+
+        k0, w0 = origin(t)
+        _flrelu_tile_shift(
+            xs[slot], bias, k0, w0,
+            (xb_s, yh_s, yt_s, y_s, accp_s, vt_s), outs.at[slot],
+            TH=TH, TW=TW, H_IN=H_IN,
+            W_IN=W_IN, HALO=HALO, WH=WH, slope=slope, gain=gain,
+            clamp=clamp, n_d=n_d, up_h_taps=up_h_taps, up_w_taps=up_w_taps,
+            dn_h_taps=dn_h_taps, dn_w_taps=dn_w_taps)
+
+        out_dma(slot, t).start()
+        return 0
+
+    jax.lax.fori_loop(0, NTT, body, 0)
+
+    @pl.when(NTT >= 2)
+    def _():
+        out_dma((NTT - 2) % 2, NTT - 2).wait()
+    out_dma((NTT - 1) % 2, NTT - 1).wait()
+
+
 def _flrelu_kernel(x_hbm, b_ref, bh_ref, bw_ref, dw_ref, dh_ref, o_hbm,
                    xs, outs, sem_in, sem_out, *,
                    NT, TH, OW, CB, H_IN, W_IN, HALO, WH, slope, gain, clamp,
@@ -212,7 +377,8 @@ def _flrelu_config(x, fu, fd, up, down, padding):
 
 
 def filtered_lrelu_pallas(x, fu, fd, b, up, down, padding, gain, slope,
-                          clamp, flip_filter):
+                          clamp, flip_filter, variant=None):
+    variant = variant or _FLRELU_VARIANT
     cfg = _flrelu_config(x, fu, fd, up, down, padding)
     if cfg is None:
         return None
@@ -247,6 +413,12 @@ def filtered_lrelu_pallas(x, fu, fd, b, up, down, padding, gain, slope,
     # padded width multiple of 8 for the DMA's sublane tiling
     Wp = ((out_w + 2 * WH + 7) // 8) * 8
     wh_hi = Wp - out_w - WH
+
+    if variant == 'shift':
+        return _flrelu_pallas_shift(
+            x, b, up_h_taps, up_w_taps, dn_h_taps, dn_w_taps,
+            HALO=HALO, WH=WH, out_h=out_h, out_w=out_w,
+            gain=gain, slope=slope, clamp=clamp, n_d=n_d)
 
     # largest row tile that divides out_h AND keeps the double-buffered
     # scratch (2 halo'd slabs + 2 out tiles + intermediates) within VMEM
@@ -307,6 +479,120 @@ def filtered_lrelu_pallas(x, fu, fd, b, up, down, padding, gain, slope,
         ],
     )(xp, b_arr, jnp.asarray(Bh, x.dtype), jnp.asarray(Bw, x.dtype),
       jnp.asarray(Dw, x.dtype), jnp.asarray(Dh, x.dtype))
+
+
+#: VMEM live-set budget (MiB) for the shift-variant tile planner. The
+#: compiler's scoped allocation measures ~2.0x the planner's estimate
+#: (stage buffers are explicit scratch; the stack adds per-statement
+#: temporaries of comparable size), so 7M keeps the total under the 16M
+#: VMEM limit; tuned empirically on v5e (est 8M -> 16.66M OOM,
+#: est 6M -> ok).
+_FLRELU_VMEM_MB = float(os.environ.get('ANIMEFACE_FLRELU_VMEM_MB', '7'))
+
+
+def _flrelu_shift_tile_plan(out_h, out_w, HALO, WH, n_d, isz, budget=None):
+    '''Pick the (TH, TW) output tile minimizing halo read amplification
+    (1 + 2*HALO/TH)(1 + ~2*WH/TW) subject to the VMEM live-set budget
+    (2 halo'd slabs + 2 out bufs + the ~6 compute intermediates).
+    W tiles never overlap (the driver pads output width to NWT*TW — W
+    DMA starts must stay affine for Mosaic's alignment proof); H tiles
+    overlap at the bottom edge instead of shrinking.
+    Returns (TH, TW, SLAB_W) or None.'''
+    CB = 128
+    if budget is None:
+        budget = int(_FLRELU_VMEM_MB * 2 ** 20)
+    oh8 = ((out_h + 7) // 8) * 8
+    ow8 = ((out_w + 7) // 8) * 8
+    best = None
+    for TW in sorted({min(ow8, c) for c in (512, 384, 256, 192, 160, 128,
+                                            96, 64, 48, 32, 16, 8)},
+                     reverse=True):
+        SLAB_W = ((TW + 2 * WH + 7) // 8) * 8
+        nwt = -(-out_w // TW)
+        for TH in range(min(oh8, 256), 7, -8):
+            slab_rows = TH + 2 * HALO
+            rows_y = TH + n_d
+            cols_y = TW + n_d
+            est = (3 * slab_rows * SLAB_W      # 2 slabs + biased copy
+                   + 3 * TH * TW               # 2 out bufs + acc
+                   + 3 * rows_y * SLAB_W       # yH + yHt (+ relayout)
+                   + 2 * cols_y * rows_y       # y + tmp
+                   + 2 * TW * rows_y           # accp, vt
+                   ) * CB * isz
+            if est < budget:
+                nt = -(-out_h // TH)
+                # true read amplification incl. overlap/padding
+                amp = (nt * slab_rows * nwt * SLAB_W) / (out_h * out_w)
+                if best is None or amp < best[0]:
+                    best = (amp, TH, TW, SLAB_W)
+                break
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
+
+
+def _flrelu_pallas_shift(x, b, up_h_taps, up_w_taps, dn_h_taps, dn_w_taps, *,
+                         HALO, WH, out_h, out_w, gain, slope, clamp, n_d):
+    '''Driver for the 'shift' variant: 2D tiles with H-overlap + W output
+    padding (no divisibility constraints), no band-matrix inputs (taps are
+    compile-time constants baked into the VPU shift-adds).'''
+    N, H, W, C = x.shape
+    CB = 128
+    if out_h % 8 or out_w % 8:
+        return None
+    plan = _flrelu_shift_tile_plan(out_h, out_w, HALO, WH, n_d,
+                                   x.dtype.itemsize)
+    if plan is None:
+        return None
+    TH, TW, SLAB_W = plan
+    NT = -(-out_h // TH)
+    NWT = -(-out_w // TW)
+    out_w_pad = NWT * TW
+
+    # pad so every tile's read window exists physically:
+    # rows [k0, k0 + TH + 2*HALO) for k0 <= out_h - TH, and
+    # cols [w0, w0 + SLAB_W) for w0 = (NWT-1)*TW
+    xp = jnp.pad(x, ((0, 0), (HALO, HALO + TH),
+                     (WH, out_w_pad - TW + SLAB_W - WH - W), (0, 0)))
+    b_arr = (jnp.zeros((C,), x.dtype) if b is None else
+             jnp.asarray(b, x.dtype)).reshape(1, C)
+
+    kern = functools.partial(
+        _flrelu_kernel_shift, NT=NT, NWT=NWT, TH=TH, TW=TW, SLAB_W=SLAB_W,
+        CB=CB, H_IN=H, W_IN=W, HALO=HALO, WH=WH, OUT_H=out_h,
+        slope=float(slope), gain=float(gain),
+        clamp=None if clamp is None else float(clamp), n_d=n_d,
+        up_h_taps=tuple(up_h_taps), up_w_taps=tuple(up_w_taps),
+        dn_h_taps=tuple(dn_h_taps), dn_w_taps=tuple(dn_w_taps))
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((N, out_h, out_w_pad, C), x.dtype),
+        interpret=jax.default_backend() != 'tpu',
+        grid=(N, C // CB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, CB), lambda b_, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, TH + 2 * HALO, SLAB_W, CB), x.dtype),
+            pltpu.VMEM((2, TH, TW, CB), x.dtype),
+            # per-stage buffers, reused across the 4 (p, q) phases
+            pltpu.VMEM((TH + 2 * HALO, SLAB_W, CB), x.dtype),   # xb
+            pltpu.VMEM((TH + n_d, SLAB_W, CB), x.dtype),        # yH
+            pltpu.VMEM((SLAB_W, TH + n_d, CB), x.dtype),        # yH^T
+            pltpu.VMEM((TW + n_d, TH + n_d, CB), x.dtype),      # y
+            pltpu.VMEM((TW, TH + n_d, CB), x.dtype),            # accp
+            pltpu.VMEM((TH + n_d, TW, CB), x.dtype),            # accp^T
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(xp, b_arr)
+    if out_w_pad != out_w:
+        out = jax.lax.slice_in_dim(out, 0, out_w, axis=2)
+    return out
 
 
 def _bias_act_kernel(x_ref, b_ref, o_ref, *, act, alpha, gain, clamp):

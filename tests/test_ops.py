@@ -420,7 +420,8 @@ class TestFilteredLreluPallas:
     '''Fused polyphase kernel vs the XLA composition oracle (interpret mode
     on CPU; the same kernel compiles for TPU via Mosaic).'''
 
-    def _run(self, C=128, pad=11, clamp=None, bias=True, H=16, seed=0):
+    def _run(self, C=128, pad=11, clamp=None, bias=True, H=16, seed=0,
+             variant=None):
         import numpy as np
         from unittest import mock
         from jax.experimental import pallas as pl
@@ -437,10 +438,26 @@ class TestFilteredLreluPallas:
         # kernels auto-select interpret mode off-TPU
         got = pallas_kernels.filtered_lrelu_pallas(
             x, np.asarray(fu), np.asarray(fu), b, 2, 2,
-            (pad, pad, pad, pad), float(np.sqrt(2)), 0.2, clamp, False)
+            (pad, pad, pad, pad), float(np.sqrt(2)), 0.2, clamp, False,
+            variant=variant)
         assert got is not None
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-6)
+
+    def test_shift_variant(self):
+        # round-3 shift variant: 2D overlapped tiles, VPU FIR shift-adds
+        self._run(variant='shift')
+        self._run(C=256, clamp=0.5, variant='shift')
+        self._run(H=40, bias=False, variant='shift')
+
+    def test_shift_variant_padded_w_tiles(self):
+        # force a plan whose TW does not divide out_w (padded output width
+        # + overlapped H tiles)
+        from unittest import mock
+        from animeface_tpu.ops import pallas_kernels
+        with mock.patch.object(pallas_kernels, '_flrelu_shift_tile_plan',
+                               lambda *a, **k: (8, 32, 48)):
+            self._run(H=40, variant='shift')
 
     def test_basic(self):
         self._run()
