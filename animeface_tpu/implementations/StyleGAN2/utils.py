@@ -138,17 +138,19 @@ def build_train_step(G, D, g_tx, d_tx, loss, policy, r1_lambda, pl_lambda,
             step=state['step'] + 1,
         )
         metrics = dict(G=jnp.nan_to_num(g_loss), D=jnp.nan_to_num(d_loss))
-        # NOTE: ada_update_p is skipped on R1 iters (replace-loss lazy reg has
-        # no adversarial real_prob there), so the controller's interval counts
-        # only adversarial steps — the p-adaptation cadence stretches by
-        # d_k/(d_k-1) vs the reference ADA recipe, which updates p every step
-        # because its gp is ADDED, not substituted. Negligible at d_k=16.
+        # R1 iters (replace-loss lazy reg) produce no adversarial D(real)
+        # logits, but they still advance the controller cadence via ada_tick —
+        # exactly one tick per training iteration, matching the reference ADA
+        # recipe whose gp is ADDED (so it updates p every step;
+        # reference nnutils/ada.py:26-36).
         if ada_enabled and not do_r1:
             from animeface_tpu.nnutils.ada import ada_update_p
             new_state['ada'] = ada_update_p(state['ada'], real_prob)
             metrics['p'] = new_state['ada']['p']
         elif ada_enabled:
-            metrics['p'] = state['ada']['p']
+            from animeface_tpu.nnutils.ada import ada_tick
+            new_state['ada'] = ada_tick(state['ada'])
+            metrics['p'] = new_state['ada']['p']
         return new_state, metrics
 
     return train_step

@@ -572,6 +572,7 @@ def ada_init_state(batch_size: int, interval: int = 4, target_kimg: int = 500,
     return dict(
         p=jnp.float32(0.0),
         signsum=jnp.float32(0.0),
+        count=jnp.float32(0.0),
         num_iter=jnp.int32(0),
         _interval=interval,
         _threshold=threshold,
@@ -580,25 +581,53 @@ def ada_init_state(batch_size: int, interval: int = 4, target_kimg: int = 500,
     )
 
 
+def _ada_advance(ada, signsum, count):
+    '''Shared cadence step: every `interval` iters adjust p from the
+    accumulated sign statistic and reset the accumulators.'''
+    interval = ada['_interval']
+    num_iter = ada['num_iter'] + 1
+
+    def adjust(_):
+        # mean over the samples actually accumulated this window (R1-only
+        # iters contribute no logits under replace-loss lazy reg); if the
+        # whole window was logit-free, hold p.
+        signmean = signsum / jnp.maximum(count, 1.0)
+        delta = jnp.where(count > 0.0,
+                          jnp.sign(signmean - ada['_threshold']) * ada['_p_delta'],
+                          0.0)
+        return (jnp.clip(ada['p'] + delta, 0.0, 1.0),
+                jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0))
+
+    def keep(_):
+        return ada['p'], signsum, count, num_iter
+
+    p, signsum, count, num_iter = jax.lax.cond(
+        num_iter >= interval, adjust, keep, None)
+    return dict(ada, p=p, signsum=signsum, count=count, num_iter=num_iter)
+
+
 def ada_update_p(ada, real_prob):
     '''Pure update of the controller state from D(real) logits.
 
     Every `interval` calls: p += sign(mean sign(D(real)) - threshold) * delta,
     clamped to [0, 1]. The mean is over the GLOBAL batch under jit (the psum'd
-    cross-replica statistic).
+    cross-replica statistic). Matches reference `nnutils/ada.py:26-36`, which
+    divides by the accumulated sample count — here tracked explicitly in
+    `count` so iters without logits (see `ada_tick`) still advance the
+    cadence without diluting the mean.
     '''
-    interval = ada['_interval']
     signsum = ada['signsum'] + jnp.sum(jnp.sign(real_prob))
-    num_iter = ada['num_iter'] + 1
+    count = ada['count'] + jnp.float32(real_prob.size)
+    return _ada_advance(ada, signsum, count)
 
-    def adjust(_):
-        signmean = signsum / (ada['_batch_size'] * interval)
-        delta = jnp.sign(signmean - ada['_threshold']) * ada['_p_delta']
-        return (jnp.clip(ada['p'] + delta, 0.0, 1.0),
-                jnp.float32(0.0), jnp.int32(0))
 
-    def keep(_):
-        return ada['p'], signsum, num_iter
-
-    p, signsum, num_iter = jax.lax.cond(num_iter >= interval, adjust, keep, None)
-    return dict(ada, p=p, signsum=signsum, num_iter=num_iter)
+def ada_tick(ada):
+    '''Advance the controller cadence on an iter that produced no adversarial
+    D(real) logits (replace-loss lazy-reg R1 iters). The reference updates p
+    on EVERY D step because its penalty is ADDED to the adversarial loss
+    (`nnutils/ada.py:26`); under the substituted-loss formulation those iters
+    have no sign statistic, so they count toward `num_iter` but add nothing
+    to `signsum` — keeping the p-adaptation cadence at exactly one tick per
+    training iteration instead of stretching it by d_k/(d_k-1).
+    '''
+    return _ada_advance(ada, ada['signsum'], ada['count'])

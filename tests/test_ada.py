@@ -133,3 +133,30 @@ def test_ada_controller():
     state = ada_init_state(batch_size=8, interval=1, target_kimg=1)
     state = ada_update_p(state, -probs)
     assert float(state['p']) == 0.0
+
+
+def test_ada_tick_cadence():
+    '''R1-only iters advance the cadence via ada_tick without diluting the
+    sign statistic (VERDICT r3 item 4: one tick per training iteration, like
+    the reference's every-step accounting, nnutils/ada.py:26-36).'''
+    from animeface_tpu.nnutils.ada import ada_tick
+
+    probs = jnp.ones((8, 1)) * 3.0          # strong overfitting signal
+    # interval=4 with an R1 iter every 4th step: [adv, adv, adv, tick]
+    state = ada_init_state(batch_size=8, interval=4, target_kimg=1,
+                           threshold=0.6)
+    for i in range(3):
+        state = ada_update_p(state, probs)
+        assert float(state['p']) == 0.0
+    state = ada_tick(state)                   # 4th iter: R1-only
+    # window closed on the tick — p adjusted using only the 24 accumulated
+    # samples (mean sign = 1.0 > 0.6 -> p rises), counters reset
+    assert float(state['p']) > 0.0
+    assert int(state['num_iter']) == 0
+    assert float(state['signsum']) == 0.0
+    assert float(state['count']) == 0.0
+    # an all-tick window (no logits at all) holds p
+    p_before = float(state['p'])
+    for _ in range(4):
+        state = ada_tick(state)
+    assert float(state['p']) == p_before
