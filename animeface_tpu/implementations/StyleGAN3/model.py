@@ -57,6 +57,14 @@ class Linear(nn.Module):
         return bias_act(y, b, act=self.act_name)
 
 
+# NOTE on provenance: `design_filter` and `get_layer_params` are formula-level
+# transcriptions of the reference's numeric recipes (reference StyleGAN3/
+# model.py:76-115, themselves NVIDIA's published alias-free-GAN filter-design
+# math). This is unavoidable: the Kaiser/firwin + jinc window construction and
+# the geometric cutoff/stopband progression must match EXACTLY or the
+# resulting architecture (per-layer tap counts, sampling rates, channel
+# widths) differs from StyleGAN3. Everything else in this file is an
+# idiomatic Flax/TPU rewrite.
 def design_filter(numtaps, cutoff, width, fs, radial=False):
     '''Lowpass FIR design (reference design_filter :76): Kaiser-windowed
     firwin, or jinc-based radial filter for non-critically-sampled layers.'''

@@ -25,6 +25,26 @@ from animeface_tpu.utils import Status, save_image
 from animeface_tpu.utils.argument import result_dir
 
 
+def check_sustained_nan(status, name: str, window: int = 10) -> None:
+    '''Failure detection (SURVEY §5, new capability — not a port): raise when
+    every mature loss series has been non-finite for `window` consecutive
+    steps. Series shorter than `window` (keys that first appeared mid-run)
+    neither trip the guard nor veto it for the mature series.'''
+    import math
+    checked = False
+    for tail in status.loss_tail(window).values():
+        if len(tail) < window:
+            continue
+        checked = True
+        if any(math.isfinite(v) for v in tail):
+            return
+    if checked:
+        raise FloatingPointError(
+            f'[{name}] all losses non-finite for {window} consecutive '
+            f'steps at iter {status.batches_done}; aborting (resume from '
+            f'the last checkpoint with --resume)')
+
+
 def host_step_counter():
     '''Host-side iteration index for cadence branching (lazy-reg, n_critic,
     ADA intervals — reference `implementations/StyleGAN2/utils.py:71-79`).
@@ -138,19 +158,7 @@ def run_training(
     guard_every = max(int(getattr(args, 'log_interval', 1) or 1), 10)
 
     def _check_finite():
-        import math
-        window = 10
-        for vs in status._loss.values():
-            tail = vs[-window:]
-            if len(tail) >= window and any(
-                    math.isfinite(float(v)) for v in tail):
-                return
-            if len(tail) < window:
-                return
-        raise FloatingPointError(
-            f'[{name}] all losses non-finite for {window} consecutive steps '
-            f'at iter {status.batches_done}; aborting (resume from the last '
-            f'checkpoint with --resume)')
+        check_sustained_nan(status, name)
 
     done = False
     while not done:

@@ -123,7 +123,9 @@ class Status:
                 v = _tofloat(v)  # D2H sync happens here, only when displayed
                 postfix.append(f'{k} : {v:.5f}')
                 logged[k] = round(v, 6)
-            self._loss[k].append(v)
+            # setdefault: a key may first appear mid-run (e.g. a metric only
+            # emitted on some cadence branches), giving uneven series lengths
+            self._loss.setdefault(k, []).append(v)
 
         if should_log:
             duration = time.time() - self._step_start
@@ -143,6 +145,15 @@ class Status:
 
     def is_end(self):
         return self.batches_done >= self.max_iters
+
+    def loss_tail(self, window: int) -> dict:
+        '''Public view of the last `window` logged values per series, as
+        floats (forces the deferred D2H sync for just those values). Series
+        may have uneven lengths when a key first appears mid-run.'''
+        if self._loss is None:
+            return {}
+        return {k: [_tofloat(v) for v in vs[-window:]]
+                for k, vs in self._loss.items()}
 
     def load_state_dict(self, state_dict: dict) -> None:
         '''fast-forward after checkpoint resume'''

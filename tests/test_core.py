@@ -188,6 +188,37 @@ def test_status(tmp_path):
     assert (tmp_path / 'loss.png').exists()
 
 
+def test_status_loss_tail_and_nan_guard():
+    '''VERDICT r3 item 7: public accessor + uneven-length window logic.'''
+    from animeface_tpu.nnutils.trainer import check_sustained_nan
+
+    nan = float('nan')
+    s = Status(max_iters=100, bar=False)
+    # 12 steps of NaN G-loss; a fresh key 'p' appears only at step 10
+    for i in range(12):
+        if i >= 10:
+            s.update(G=nan, p=0.5)
+        else:
+            s.update(G=nan)
+    tails = s.loss_tail(10)
+    assert len(tails['G']) == 10 and len(tails['p']) == 2
+    # mature all-NaN series trips the guard; the short 'p' series doesn't veto
+    with pytest.raises(FloatingPointError):
+        check_sustained_nan(s, 'test')
+
+    # a finite value inside the window keeps it quiet
+    s2 = Status(max_iters=100, bar=False)
+    for i in range(12):
+        s2.update(G=nan if i != 8 else 0.1)
+    check_sustained_nan(s2, 'test')
+
+    # nothing mature yet -> no-op (never raises on short history)
+    s3 = Status(max_iters=100, bar=False)
+    for _ in range(5):
+        s3.update(G=nan)
+    check_sustained_nan(s3, 'test')
+
+
 def test_make_image_grid():
     a = np.zeros((2, 4, 4, 3))
     b = np.ones((2, 4, 4, 3))
