@@ -21,11 +21,11 @@ from animeface_tpu.nnutils import KeyGen, sample_nnoise
 from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import WGANLoss
 from animeface_tpu.nnutils.loss.penalty import gradient_penalty
-from animeface_tpu.nnutils.trainer import run_training
+from animeface_tpu.nnutils.trainer import run_training, check_sustained_nan
 from animeface_tpu.dataset import build_dataset, DataLoader
 from animeface_tpu.utils import Status, save_image
 from animeface_tpu.utils.argument import result_dir
-from animeface_tpu.checkpoint import save_model
+from animeface_tpu.checkpoint import Checkpointer, save_model
 import os
 
 
@@ -150,6 +150,42 @@ def train(args, dataset_factory):
     g_opt = d_opt = None
     step_cache = {}
     alpha = jnp.float32(1.0)
+    skip_batches = 0   # mid-phase fast-forward after --resume
+
+    # ---- checkpoint/resume (new capability vs the reference, SURVEY §5:
+    # the phase machine, per-resolution optimizers, alpha ramp and Status
+    # history are all part of the snapshot so a kill can land ANYWHERE —
+    # including inside a growth transition — and resume exactly) ----
+    ckpt = Checkpointer(os.path.join(out_dir, 'checkpoint'), max_to_keep=3)
+    if getattr(args, 'resume', None):
+        # template: the param/opt tree SHAPES are depth-independent
+        # (init_all materializes every block up front), so one adam-shaped
+        # template restores any phase's state
+        tx0 = optax.adam(1e-3, b1=config.betas[0], b2=config.betas[1])
+        template = dict(rng=rng, G=g_params, D=d_params,
+                        g_opt=tx0.init(g_params), d_opt=tx0.init(d_params),
+                        alpha=jnp.float32(0.), alpha_delta=jnp.float32(0.),
+                        step=jnp.int32(0))
+        restored, meta = Checkpointer(args.resume).restore(template)
+        rng, g_params, d_params = restored['rng'], restored['G'], restored['D']
+        g_opt, d_opt = restored['g_opt'], restored['d_opt']
+        alpha = restored['alpha']
+        m = meta['machine']
+        machine.current_phase = m['current_phase']
+        machine.current_resolution = int(m['current_resolution'])
+        machine.skip_count = int(m['skip_count'])
+        machine.grow_flag = bool(m['grow_flag'])
+        skip_batches = int(meta['phase_batch_idx'])
+        current_resl = machine.current_resolution  # keep restored opt states
+        lr = config.resl2lr[current_resl]
+        g_tx = optax.adam(lr, b1=config.betas[0], b2=config.betas[1])
+        d_tx = optax.adam(lr, b1=config.betas[0], b2=config.betas[1])
+        if meta.get('status'):
+            status.load_state_dict(meta['status'])
+        status.print(f'[resume] from {args.resume} @ step '
+                     f'{status.batches_done} ({machine.current_phase} '
+                     f'{machine.current_resolution}px, '
+                     f'+{skip_batches} batches into the phase epoch)')
 
     while running:
         resl = machine.current_resolution
@@ -167,7 +203,7 @@ def train(args, dataset_factory):
         loader = DataLoader(dataset, config.resl2batch_size[resl],
                             seed=args.seed)
         delta = 1.0 / max(1, len(loader)) * resl2num[resl]
-        if machine.current_phase.endswith('transition'):
+        if machine.current_phase.endswith('transition') and not skip_batches:
             alpha = jnp.float32(0.0)
 
         key = (depth, g_mode, d_mode)
@@ -181,7 +217,21 @@ def train(args, dataset_factory):
                      d_opt=d_opt, alpha=alpha,
                      alpha_delta=jnp.float32(delta),
                      step=jnp.int32(status.batches_done))
-        for batch in accel.iter_loader(loader):
+
+        def save_snapshot(state, phase_batch_idx):
+            ckpt.save(status.batches_done, state, meta={
+                'status': status.state_dict(),
+                'machine': dict(
+                    current_phase=machine.current_phase,
+                    current_resolution=machine.current_resolution,
+                    skip_count=machine.skip_count,
+                    grow_flag=machine.grow_flag),
+                'phase_batch_idx': phase_batch_idx,
+            })
+
+        for bi, batch in enumerate(accel.iter_loader(loader)):
+            if bi < skip_batches:
+                continue   # deterministic loader; resume lands mid-phase
             state, metrics = jstep(state, batch)
             if status.batches_done % args.save == 0 and status.batches_done:
                 import numpy as np
@@ -193,12 +243,21 @@ def train(args, dataset_factory):
                 save_model(os.path.join(out_dir,
                                         f'G_{status.batches_done}.msgpack'),
                            state['G'])
+                save_snapshot(state, bi + 1)
+                check_sustained_nan(status, 'PGGAN')
             status.update(**metrics)
+        skip_batches = 0
         rng, g_params, d_params = state['rng'], state['G'], state['D']
         g_opt, d_opt, alpha = state['g_opt'], state['d_opt'], state['alpha']
 
         running = machine.step()
         machine.should_grow()   # optimizer re-init handled by resl change
+        # phase-boundary snapshot: a kill during the growth re-trace resumes
+        # at the first batch of the NEW phase/resolution
+        save_snapshot(dict(rng=rng, G=g_params, D=d_params, g_opt=g_opt,
+                           d_opt=d_opt, alpha=alpha,
+                           alpha_delta=jnp.float32(0.),
+                           step=jnp.int32(status.batches_done)), 0)
 
     status.plot_loss(os.path.join(out_dir, 'loss'))
     import numpy as np

@@ -271,6 +271,70 @@ def test_pggan_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_pggan_kill_resume(tmp_path):
+    '''Hard-kill PGGAN mid-G_transition (alpha ramp in progress, after the
+    4->8px growth re-trace) and --resume: final weights must be bitwise
+    identical to an uninterrupted run. The snapshot carries the phase
+    machine, per-resolution optimizer states, the alpha ramp, and the
+    mid-phase batch index (new capability vs the reference, SURVEY §3.3/§5).
+    '''
+    import subprocess
+    from flax.serialization import msgpack_restore
+
+    script = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " '/tmp/animeface_jax_cache_cpu')\n"
+        "from animeface_tpu.utils import argument\n"
+        "argument.IMPLEMENTATIONS_DIR = sys.argv.pop(1)\n"
+        "from importlib import import_module\n"
+        "import_module('animeface_tpu.implementations.PGGAN')"
+        ".main(argument.get_default_parser())\n"
+    ).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    common = ['PGGAN', '--synthetic-data', '--num-images', '64',
+              '--image-size', '8', '--batch-size', '8', '--latent-dim', '16',
+              '--save', '3', '--no-bf16', '--max-iters', '0']
+
+    def run(out_root, extra=(), kill_at_ckpt=None, timeout=600):
+        proc = subprocess.Popen(
+            [sys.executable, '-c', script, str(out_root), *common, *extra],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        ckpt_dir = os.path.join(str(out_root), 'PGGAN', 'result', 'checkpoint')
+        import time
+        t0 = time.time()
+        while proc.poll() is None and time.time() - t0 < timeout:
+            if kill_at_ckpt and os.path.isdir(
+                    os.path.join(ckpt_dir, f'ckpt-{kill_at_ckpt}')):
+                proc.kill()   # SIGKILL: no atexit, no flush
+                proc.wait()
+                return 'killed'
+            time.sleep(0.2)
+        assert proc.wait() == 0
+        return 'done'
+
+    base_root = tmp_path / 'base'
+    kill_root = tmp_path / 'kill'
+    assert run(base_root) == 'done'
+    # ckpt-3 lands inside the 8px G_transition phase (4px stab = 2 steps)
+    assert run(kill_root, kill_at_ckpt=3) == 'killed'
+    assert run(kill_root, extra=(
+        '--resume', os.path.join(str(kill_root), 'PGGAN', 'result',
+                                 'checkpoint'))) == 'done'
+
+    def final(root):
+        path = os.path.join(str(root), 'PGGAN', 'result', 'G_final.msgpack')
+        with open(path, 'rb') as f:
+            return msgpack_restore(f.read())
+    import jax
+    a = jax.tree_util.tree_leaves(final(base_root))
+    b = jax.tree_util.tree_leaves(final(kill_root))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
 def test_fourierfeatures_end_to_end(tmp_path):
     out = run_impl('FourierFeatures', tmp_path, iters=8, image_size=16,
                    extra_args=('--map-size', '32',))
