@@ -108,9 +108,11 @@ def build_train_step(G, D, g_tx, d_tx, loss, gp_lambda, drift_eps,
         g_params = optax.apply_updates(state['G'], g_up)
 
         new_alpha = jnp.minimum(1.0, alpha + state['alpha_delta'])
+        # alpha in the metrics: the growth-ramp trace is first-class soak
+        # evidence (each transition phase must show a clean 0 -> 1 ramp)
         return dict(state, rng=rng, G=g_params, D=d_params, g_opt=g_opt,
                     d_opt=d_opt, alpha=new_alpha, step=state['step'] + 1), \
-            dict(d=d_loss, g=g_loss)
+            dict(d=d_loss, g=g_loss, alpha=alpha)
 
     return train_step
 

@@ -49,7 +49,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: filtered_lrelu kernel variant:
-#:   'matmul' (default) the round-2 banded-MXU formulation — the band
+#:   'gather' (round 4, default) grid-pipelined overlap-gather: the halo'd
+#:            input slab arrives as TWO shifted BlockSpec views of the same
+#:            padded array (blocks i and i+1), so Mosaic's AUTOMATIC
+#:            pipeline double-buffers the DMA — the measured remedy for the
+#:            30-50 us per-tile overhead that sank the manual-DMA variants
+#:            (a plain blocked copy kernel reaches 440 GB/s; the manual
+#:            fori_loop pipelines did not). W-axis FIR matmuls are BLOCKED
+#:            (contraction width ~CO+taps instead of the full padded width)
+#:            cutting the band-zero FLOP tax ~4x, and `vmem_limit_bytes`
+#:            lifts the 16M scoped-VMEM ceiling the earlier designs were
+#:            squeezed under.
+#:   'matmul' the round-2 banded-MXU formulation — full-width band
 #:            matrices waste ~97% of MXU FLOPs on structural zeros, but
 #:            3% of the MXU's 197 TF/s still beats the VPU (measured;
 #:            PERF_NOTES.md "filtered_lrelu kernel study").
@@ -61,7 +72,7 @@ from jax.experimental.pallas import tpu as pltpu
 #:            on the VPU lose to the MXU even with the 45x zero-padding
 #:            tax, and both variants carry a ~30-50 us per-tile pipeline
 #:            overhead. Kept as the measured record + scope template.
-_FLRELU_VARIANT = os.environ.get('ANIMEFACE_FLRELU_KERNEL', 'matmul')
+_FLRELU_VARIANT = os.environ.get('ANIMEFACE_FLRELU_KERNEL', 'gather')
 
 
 def _phase_taps_up(g, pad):
@@ -419,6 +430,15 @@ def filtered_lrelu_pallas(x, fu, fd, b, up, down, padding, gain, slope,
             x, b, up_h_taps, up_w_taps, dn_h_taps, dn_w_taps,
             HALO=HALO, WH=WH, out_h=out_h, out_w=out_w,
             gain=gain, slope=slope, clamp=clamp, n_d=n_d)
+    if variant == 'gather':
+        out = _flrelu_pallas_gather(
+            x, b, up_h_taps, up_w_taps, dn_h_taps, dn_w_taps,
+            HALO=HALO, WH=WH, out_h=out_h, out_w=out_w, Wp=Wp,
+            wh_hi=wh_hi, gain=gain, slope=slope, clamp=clamp, n_d=n_d)
+        if out is not None:
+            return out
+        # no feasible tile plan (e.g. out_h has no divisor >= 2*HALO):
+        # fall through to the matmul variant's planner
 
     # largest row tile that divides out_h AND keeps the double-buffered
     # scratch (2 halo'd slabs + 2 out tiles + intermediates) within VMEM
@@ -479,6 +499,199 @@ def filtered_lrelu_pallas(x, fu, fd, b, up, down, padding, gain, slope,
         ],
     )(xp, b_arr, jnp.asarray(Bh, x.dtype), jnp.asarray(Bw, x.dtype),
       jnp.asarray(Dw, x.dtype), jnp.asarray(Dh, x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# 'gather' variant (round 4): automatic-pipeline overlap-gather + blocked
+# W-band matmuls.
+#
+# Why this design (the round-2/3 post-mortems, PERF_NOTES.md):
+#   * both manual-DMA variants (matmul, shift) carried a measured 30-50 us
+#     per-tile pipeline overhead that alone exceeded the XLA composition at
+#     realistic tile counts, while a plain BLOCKED copy kernel (automatic
+#     BlockSpec pipelining) ran at 440 GB/s — so let Mosaic build the
+#     pipeline and express the halo as TWO SHIFTED BLOCK VIEWS of one padded
+#     array (blocks i and i+1 concatenated in VMEM cover rows
+#     [i*TH, i*TH + TH + 2*HALO) whenever TH >= 2*HALO). Each row is
+#     fetched exactly twice; input traffic 2x + output 1x is still ~6x less
+#     than the XLA composition's ~18 plane passes.
+#   * the full-width W-axis band matmuls wasted ~48x MXU FLOPs on band
+#     zeros (the H-axis ones, operating on short halo'd slabs, only ~5x).
+#     Here the W stages are BLOCKED: each down-chunk of CO output columns
+#     contracts only its ~CO+2*taps input window, nested so the up-FIR
+#     window is recomputed per chunk (~15% overlap) and the full 2x-width
+#     intermediate never exists even in VMEM.
+#   * `vmem_limit_bytes` raises Mosaic's default 16M scoped-VMEM ceiling
+#     (v5e has 128M physical) that forced the earlier designs into tiny
+#     tiles.
+# ---------------------------------------------------------------------------
+
+#: scoped-VMEM request for the gather variant (bytes); the tile planner
+#: budgets its live-set estimate at ~40% of this (compiler-materialized
+#: temporaries measured ~2-3x the hand estimate in earlier variants).
+_GATHER_VMEM = int(os.environ.get('ANIMEFACE_FLRELU_GATHER_VMEM',
+                                  str(96 * 2 ** 20)))
+
+
+def _gather_plan(out_h, out_w, Wp, HALO, n_d, CO, CID, CIU, isz):
+    '''Largest TH dividing out_h with TH >= 2*HALO whose VMEM live-set
+    estimate fits the budget. Returns TH or None.'''
+    budget = int(_GATHER_VMEM * 0.4)
+    CB = 128
+    NCD = -(-out_w // CO)
+    for TH in range(min(out_h, 256), 2 * HALO - 1, -1):
+        if out_h % TH:
+            continue
+        slab_rows = TH + 2 * HALO
+        rows_y = TH + n_d
+        est = (4 * TH * Wp              # 2 input views x 2 pipeline slots
+               + 2 * TH * out_w         # out block x 2 slots
+               + 2 * slab_rows * Wp     # slab concat + biased copy
+               + 2 * rows_y * Wp        # yH + yH^T
+               + NCD * CO * rows_y      # down-chunk concat
+               + rows_y * out_w         # vt
+               + 2 * TH * out_w         # per-phase out + accumulator
+               + (CIU + CID + CO) * rows_y   # chunk temporaries
+               ) * CB * isz
+        if est <= budget:
+            return TH
+    return None
+
+
+def _flrelu_kernel_gather(a_ref, b_ref, bias_ref, bh_ref, bw_ref, dw_ref,
+                          dh_ref, o_ref, *, TH, HALO, WH, H_IN, W_IN, Wp,
+                          out_w, CO, NCD, CID, CIU, su, sd, rows_y,
+                          slope, gain, clamp, n_d):
+    '''One output row-band [TH, out_w, CB] per grid step; all FIR stages as
+    banded matmuls on the MXU, W stages blocked per down-chunk.'''
+    i = pl.program_id(2)
+    dt = o_ref.dtype
+    slab = jnp.concatenate([a_ref[0], b_ref[0]], axis=0)[:TH + 2 * HALO]
+    slab_rows = TH + 2 * HALO
+
+    k0 = i * TH
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (slab_rows, Wp), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (slab_rows, Wp), 1)
+    interior = ((row_ids + k0 >= HALO) & (row_ids + k0 < HALO + H_IN)
+                & (col_ids >= WH) & (col_ids < WH + W_IN))
+    xb = slab + (jnp.where(interior, 1.0, 0.0)[:, :, None]
+                 * bias_ref[0, :]).astype(dt)
+
+    def act(v):
+        # max/min form: bf16 compare/select is unsupported on-target
+        zero = jnp.zeros((), v.dtype)
+        v = (jnp.maximum(v, zero) + jnp.minimum(v, zero) * v.dtype.type(slope)) \
+            * v.dtype.type(gain)
+        if clamp is not None:
+            c = v.dtype.type(clamp)
+            v = jnp.minimum(jnp.maximum(v, -c), c)
+        return v
+
+    out = None
+    for p in (0, 1):
+        yH = _mm(bh_ref[p], xb)                     # [rows_y, Wp, CB]
+        yHt = jnp.transpose(yH, (1, 0, 2))          # [Wp, rows_y, CB]
+        chunks = []
+        for c in range(NCD):
+            acc_c = None
+            for q in (0, 1):
+                seg = jax.lax.slice_in_dim(yHt, su[q][c], su[q][c] + CIU,
+                                           axis=0)
+                ywin = act(_mm(bw_ref[q, c], seg))  # [CID, rows_y, CB]
+                d = _mm(dw_ref[q, c], ywin)         # [CO, rows_y, CB]
+                acc_c = d if acc_c is None else acc_c + d
+            chunks.append(acc_c)
+        accp = chunks[0] if NCD == 1 else jnp.concatenate(chunks, axis=0)
+        vt = jnp.transpose(accp, (1, 0, 2))         # [rows_y, NCD*CO, CB]
+        if NCD * CO != out_w:
+            vt = jax.lax.slice_in_dim(vt, 0, out_w, axis=1)
+        o = _mm(dh_ref[p], vt)                      # [TH, out_w, CB]
+        out = o if out is None else out + o
+    o_ref[0] = out.astype(dt)
+
+
+def _flrelu_pallas_gather(x, b, up_h_taps, up_w_taps, dn_h_taps, dn_w_taps, *,
+                          HALO, WH, out_h, out_w, Wp, wh_hi, gain, slope,
+                          clamp, n_d):
+    N, H, W, C = x.shape
+    CB = 128
+    if out_w % 8:
+        return None
+    rows_y_of = lambda TH: TH + n_d
+    cols_y = out_w + n_d
+    Lu = max(len(t) for t, _ in up_w_taps)
+    Ld = max(len(t) for t, _ in dn_w_taps)
+    CO = min(64, ((out_w + 7) // 8) * 8)
+    NCD = -(-out_w // CO)
+    CID = min(CO + Ld - 1, cols_y)
+    CIU = min(CID + Lu - 1, Wp)
+
+    TH = _gather_plan(out_h, out_w, Wp, HALO, n_d, CO, CID, CIU,
+                      x.dtype.itemsize)
+    if TH is None:
+        return None
+    NT = out_h // TH
+    rows_y = rows_y_of(TH)
+    slab_rows = TH + 2 * HALO
+
+    # full band matrices, then per-chunk windows sliced out of them (static)
+    Bh = np.stack([_band(rows_y, slab_rows, t, HALO + o)
+                   for t, o in up_h_taps])                  # [2,rows_y,slab]
+    Dh = np.stack([_band(TH, rows_y, t, o) for t, o in dn_h_taps])
+    Bw_full = [_band(cols_y, Wp, t, WH + o) for t, o in up_w_taps]
+    Dw_full = [_band(out_w, cols_y, t, o) for t, o in dn_w_taps]
+
+    su = [[0] * NCD for _ in (0, 1)]   # up-window starts, per (q, chunk)
+    sd = [[0] * NCD for _ in (0, 1)]   # y-window starts
+    Bw_c = np.zeros((2, NCD, CID, CIU), np.float32)
+    Dw_c = np.zeros((2, NCD, CO, CID), np.float32)
+    for q in (0, 1):
+        taps_u, off_u = up_w_taps[q]
+        bw_pad = np.zeros((cols_y + CID, Wp), np.float32)
+        bw_pad[:cols_y] = Bw_full[q]
+        dw_pad = np.zeros((NCD * CO, cols_y), np.float32)
+        dw_pad[:out_w] = Dw_full[q]
+        for c in range(NCD):
+            s_d = min(max(c * CO, 0), max(cols_y - CID, 0))
+            s_u = min(max(WH + s_d + off_u, 0), Wp - CIU)
+            sd[q][c] = s_d
+            su[q][c] = s_u
+            Dw_c[q, c] = dw_pad[c * CO:(c + 1) * CO, s_d:s_d + CID]
+            Bw_c[q, c] = bw_pad[s_d:s_d + CID, s_u:s_u + CIU]
+
+    # pad rows so block i+1 exists for the last step: (NT+1)*TH total
+    xp = jnp.pad(x, ((0, 0), (HALO, (NT + 1) * TH - HALO - H),
+                     (WH, wh_hi), (0, 0)))
+    b_arr = (jnp.zeros((C,), x.dtype) if b is None else
+             jnp.asarray(b, x.dtype)).reshape(1, C)
+
+    kern = functools.partial(
+        _flrelu_kernel_gather, TH=TH, HALO=HALO, WH=WH, H_IN=H, W_IN=W,
+        Wp=Wp, out_w=out_w, CO=CO, NCD=NCD, CID=CID, CIU=CIU,
+        su=tuple(tuple(v) for v in su), sd=tuple(tuple(v) for v in sd),
+        rows_y=rows_y, slope=float(slope), gain=float(gain),
+        clamp=None if clamp is None else float(clamp), n_d=n_d)
+
+    on_tpu = jax.default_backend() == 'tpu'
+    full_vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((N, out_h, out_w, C), x.dtype),
+        interpret=not on_tpu,
+        grid=(N, C // CB, NT),
+        in_specs=[
+            pl.BlockSpec((1, TH, Wp, CB), lambda n, c, i: (n, i, 0, c)),
+            pl.BlockSpec((1, TH, Wp, CB), lambda n, c, i: (n, i + 1, 0, c)),
+            pl.BlockSpec((1, CB), lambda n, c, i: (0, c),
+                         memory_space=pltpu.VMEM),
+            full_vmem, full_vmem, full_vmem, full_vmem,
+        ],
+        out_specs=pl.BlockSpec((1, TH, out_w, CB),
+                               lambda n, c, i: (n, i, 0, c)),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=_GATHER_VMEM) if on_tpu else None),
+    )(xp, xp, b_arr, jnp.asarray(Bh, x.dtype), jnp.asarray(Bw_c, x.dtype),
+      jnp.asarray(Dw_c, x.dtype), jnp.asarray(Dh, x.dtype))
 
 
 #: VMEM live-set budget (MiB) for the shift-variant tile planner. The

@@ -462,6 +462,21 @@ class TestFilteredLreluPallas:
     def test_basic(self):
         self._run()
 
+    def test_gather_variant_multitile(self):
+        # round-4 gather variant: NT>1 row bands (two shifted block views),
+        # NCD>1 W-chunks, multiple channel blocks
+        self._run(H=40, variant='gather')                 # NT > 1
+        self._run(H=80, C=256, variant='gather')          # NCD=2, 2 c-blocks
+        self._run(H=80, clamp=0.5, bias=False, variant='gather')
+
+    def test_gather_variant_forced_small_tiles(self):
+        # force the smallest legal TH so every step concatenates two views
+        from unittest import mock
+        from animeface_tpu.ops import pallas_kernels
+        with mock.patch.object(pallas_kernels, '_gather_plan',
+                               lambda *a, **k: 16):
+            self._run(H=80, variant='gather')
+
     def test_bias_and_clamp(self):
         self._run(C=256, clamp=0.5)
 
