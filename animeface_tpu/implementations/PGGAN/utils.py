@@ -205,7 +205,12 @@ def train(args, dataset_factory):
         loader = DataLoader(dataset, config.resl2batch_size[resl],
                             seed=args.seed)
         delta = 1.0 / max(1, len(loader)) * resl2num[resl]
-        if machine.current_phase.endswith('transition') and not skip_batches:
+        # alpha resets once per GROWTH (reference model.py:301-305 grow();
+        # update_alpha then accumulates across every epoch of the transition
+        # phase, :335-337) — skip_count==1 marks the phase's first epoch.
+        # A mid-phase resume must not reset the restored ramp either.
+        if (machine.current_phase.endswith('transition')
+                and machine.skip_count == 1 and not skip_batches):
             alpha = jnp.float32(0.0)
 
         key = (depth, g_mode, d_mode)
