@@ -250,6 +250,13 @@ def train(args, dataset_factory):
                 save_model(os.path.join(out_dir,
                                         f'G_{status.batches_done}.msgpack'),
                            state['G'])
+                # sidecar: progressive snapshots are only samplable knowing
+                # their phase geometry (tools/fid_trend.py reads these)
+                import json
+                with open(os.path.join(
+                        out_dir, f'G_{status.batches_done}.json'), 'w') as f:
+                    json.dump(dict(resolution=resl, depth=depth, mode=g_mode,
+                                   alpha=float(state['alpha'])), f)
                 save_snapshot(state, bi + 1)
                 check_sustained_nan(status, 'PGGAN')
             status.update(**metrics)

@@ -178,3 +178,37 @@ def test_frechet_kid_match_canned_pytorch_fid_values():
     got_kid = compute_kid(real, fake, num_subsets=1, subset_size=len(real))
     np.testing.assert_allclose(got_kid, float(data['expected_kid']),
                                rtol=1e-8, atol=1e-9)
+
+
+def test_trend_features_discriminate():
+    '''The in-box trend metric (fixed-seed random-VGG Frechet,
+    metrics/trend.py) must DISCRIMINATE — the property the random-init
+    Inception stand-in lacks (its BN stack collapses all inputs to
+    near-constant features, fid_cli.py docstring): identical streams score
+    ~0, near-identical streams score small, and unrelated noise scores an
+    order of magnitude worse.'''
+    import jax
+    from animeface_tpu.metrics.trend import (
+        make_trend_extractor, trend_statistics, trend_fd)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    # structured "data": smooth gradients + blobs, in [-1, 1]
+    import jax.numpy as jnp
+    xs = jnp.linspace(-1, 1, 16)
+    grid = xs[None, :, None, None] * xs[None, None, :, None]
+    data = jnp.tanh(grid + 0.3 * jax.random.normal(k1, (64, 16, 16, 3)))
+    near = jnp.tanh(grid + 0.3 * jax.random.normal(k2, (64, 16, 16, 3)))
+    noise = jax.random.uniform(k3, (64, 16, 16, 3)) * 2 - 1
+
+    extract = make_trend_extractor()
+    s_data = trend_statistics([data], extract, max_samples=64)
+    s_near = trend_statistics([near], extract, max_samples=64)
+    s_noise = trend_statistics([noise], extract, max_samples=64)
+
+    fd_same = trend_fd(s_data, s_data)
+    fd_near = trend_fd(s_data, s_near)
+    fd_far = trend_fd(s_data, s_noise)
+    assert fd_same < 1e-6
+    assert fd_near > 0
+    assert fd_far > 10 * fd_near, (fd_near, fd_far)
