@@ -17,6 +17,7 @@ pl_mean lives in the device train state, bf16 compute / f32 params + EMA.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -32,6 +33,13 @@ from animeface_tpu.nnutils.diffaugment import diff_augment
 from animeface_tpu.nnutils.trainer import (
     run_training, default_max_iters, host_step_counter)
 from animeface_tpu.dataset import build_loader
+
+
+#: rematerialize the double-backward penalty branches (R1 / path-length):
+#: trades ~few % FLOPs on 1-in-8/16 steps for the activation memory that
+#: bounds the batch size (batch 160 OOMs HBM by ~0.4G in the R1 variant —
+#: CLAUDE.md step-shape note). Off by default; the bench A/Bs it.
+_REMAT_PENALTIES = os.environ.get('ANIMEFACE_REMAT_PENALTIES', '') == '1'
 
 
 def pl_lengths(G, g_params, w, noise_rngs):
@@ -86,7 +94,11 @@ def build_train_step(G, D, g_tx, d_tx, loss, policy, r1_lambda, pl_lambda,
         if do_r1:
             def d_loss_fn(d_params):
                 d_apply = lambda img: D.apply({'params': d_params}, img)
-                r1 = r1_regularizer(real, d_apply)
+                if _REMAT_PENALTIES:
+                    r1 = jax.checkpoint(
+                        lambda img: r1_regularizer(img, d_apply))(real)
+                else:
+                    r1 = r1_regularizer(real, d_apply)
                 return r1 * r1_lambda * d_k, jnp.zeros((B, 1))
         else:
             def d_loss_fn(d_params):
@@ -111,7 +123,13 @@ def build_train_step(G, D, g_tx, d_tx, loss, policy, r1_lambda, pl_lambda,
         if do_pl:
             def g_loss_fn(g_params):
                 w = G.apply({'params': g_params}, z, method=Generator.map_w)
-                lengths = pl_lengths(G, g_params, w, {'noise': nkey_g})
+                if _REMAT_PENALTIES:
+                    lengths = jax.checkpoint(
+                        lambda gp, w_: pl_lengths(G, gp, w_,
+                                                  {'noise': nkey_g})
+                    )(g_params, w)
+                else:
+                    lengths = pl_lengths(G, g_params, w, {'noise': nkey_g})
                 pl = jnp.mean((lengths - state['pl_mean']) ** 2)
                 return pl * pl_lambda * g_k, jnp.mean(lengths)
             (g_loss, mean_len), g_grads = jax.value_and_grad(

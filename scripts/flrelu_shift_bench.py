@@ -64,7 +64,7 @@ def main():
         x = (jax.random.normal(key, (B, H, H, C)) * 0.3).astype(jnp.bfloat16)
         b = (jax.random.normal(key, (C,)) * 0.1).astype(jnp.bfloat16)
         line = [f'{H}^2x{C}:']
-        for kind in ('xla', 'shift', 'matmul'):
+        for kind in ('xla', 'gather', 'matmul'):
             try:
                 fn = make_fn(kind, fu)
                 out = fn(x, b, reps)
