@@ -49,17 +49,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: filtered_lrelu kernel variant:
-#:   'gather' (round 4, default) grid-pipelined overlap-gather: the halo'd
-#:            input slab arrives as TWO shifted BlockSpec views of the same
-#:            padded array (blocks i and i+1), so Mosaic's AUTOMATIC
-#:            pipeline double-buffers the DMA — the measured remedy for the
-#:            30-50 us per-tile overhead that sank the manual-DMA variants
-#:            (a plain blocked copy kernel reaches 440 GB/s; the manual
-#:            fori_loop pipelines did not). W-axis FIR matmuls are BLOCKED
-#:            (contraction width ~CO+taps instead of the full padded width)
-#:            cutting the band-zero FLOP tax ~4x, and `vmem_limit_bytes`
-#:            lifts the 16M scoped-VMEM ceiling the earlier designs were
-#:            squeezed under.
+#:   'gather' (round 4, default among the pallas variants) grid-pipelined
+#:            overlap-gather: the halo'd input slab arrives as TWO shifted
+#:            BlockSpec views of the same padded array (blocks i and i+1),
+#:            so Mosaic's AUTOMATIC pipeline double-buffers the DMA; W-axis
+#:            FIR matmuls are BLOCKED per 64-column chunk (~4x less
+#:            band-zero FLOPs), and `vmem_limit_bytes` lifts the 16M
+#:            scoped-VMEM ceiling. MEASURED (B=16, bf16, 12-tap): beats the
+#:            'matmul' variant at every in-scope layer and covers 272^2
+#:            (144^2x128: 8.9 vs 9.9; 88^2x256: 7.2 vs 9.0; 64^2x512: 7.0
+#:            vs 6.8; 272^2x128: 31.5 where matmul's planner bails) but
+#:            STILL LOSES to the XLA composition (11.4/3.7/3.4/4.1 ms) —
+#:            the fourth and terminal refutation of this kernel class: at
+#:            ~2-3 us fixed cost per small banded matmul, even the minimal
+#:            ~14-op tile dataflow cannot beat XLA's fused depthwise-conv
+#:            pipeline at these shapes (PERF_NOTES.md round-4 study).
 #:   'matmul' the round-2 banded-MXU formulation — full-width band
 #:            matrices waste ~97% of MXU FLOPs on structural zeros, but
 #:            3% of the MXU's 197 TF/s still beats the VPU (measured;
