@@ -22,7 +22,8 @@ from animeface_tpu.nnutils.accelerate import Accelerator
 from animeface_tpu.nnutils.loss import NonSaturatingLoss
 from animeface_tpu.nnutils.loss.penalty import gradient_penalty
 from animeface_tpu.dataset import build_dataset, DataLoader
-from animeface_tpu.checkpoint import save_model
+from animeface_tpu.checkpoint import Checkpointer, save_model
+from animeface_tpu.nnutils.trainer import check_sustained_nan
 
 resl2num = {4: 2, 8: 2, 16: 3, 32: 4, 64: 4, 128: 4}  # StyleGAN config.py
 
@@ -65,9 +66,10 @@ def build_train_step(G, D, g_tx, d_tx, loss, gp_lambda, drift_epsilon,
         g_params = optax.apply_updates(state['G'], g_up)
 
         new_alpha = jnp.minimum(1.0, alpha + state['alpha_delta'])
+        # alpha in the metrics: the growth-ramp trace is soak evidence
         return dict(state, rng=rng, G=g_params, D=d_params, g_opt=g_opt,
                     d_opt=d_opt, alpha=new_alpha, step=state['step'] + 1), \
-            dict(d=d_loss, g=g_loss)
+            dict(d=d_loss, g=g_loss, alpha=alpha)
 
     return train_step
 
@@ -104,6 +106,38 @@ def train(args, dataset_factory):
     g_tx = d_tx = g_opt = d_opt = None
     step_cache = {}
     alpha = jnp.float32(1.0)
+    skip_batches = 0   # mid-phase fast-forward after --resume
+
+    # checkpoint/resume across the progressive phase machine — same design
+    # as PGGAN/utils.py (the param/opt tree shapes are depth-independent:
+    # init_all materializes every block up front)
+    ckpt = Checkpointer(os.path.join(out_dir, 'checkpoint'), max_to_keep=3)
+    if getattr(args, 'resume', None):
+        tx0 = optax.adam(1e-3, b1=config.betas[0], b2=config.betas[1])
+        template = dict(rng=rng, G=g_params, D=d_params,
+                        g_opt=tx0.init(g_params), d_opt=tx0.init(d_params),
+                        alpha=jnp.float32(0.), alpha_delta=jnp.float32(0.),
+                        step=jnp.int32(0))
+        restored, meta = Checkpointer(args.resume).restore(template)
+        rng, g_params, d_params = restored['rng'], restored['G'], restored['D']
+        g_opt, d_opt = restored['g_opt'], restored['d_opt']
+        alpha = restored['alpha']
+        m = meta['machine']
+        machine.current_phase = m['current_phase']
+        machine.current_resolution = int(m['current_resolution'])
+        machine.skip_count = int(m['skip_count'])
+        machine.grow_flag = bool(m['grow_flag'])
+        skip_batches = int(meta['phase_batch_idx'])
+        current_resl = machine.current_resolution  # keep restored opt states
+        lr = config.resl2lr[current_resl]
+        g_tx = optax.adam(lr, b1=config.betas[0], b2=config.betas[1])
+        d_tx = optax.adam(lr, b1=config.betas[0], b2=config.betas[1])
+        if meta.get('status'):
+            status.load_state_dict(meta['status'])
+        status.print(f'[resume] from {args.resume} @ step '
+                     f'{status.batches_done} ({machine.current_phase} '
+                     f'{machine.current_resolution}px, '
+                     f'+{skip_batches} batches into the phase epoch)')
 
     while running:
         resl = machine.current_resolution
@@ -121,7 +155,11 @@ def train(args, dataset_factory):
         loader = DataLoader(dataset, config.resl2batch_size[resl],
                             seed=args.seed)
         delta = 1.0 / max(1, len(loader)) * resl2num[resl]
-        if machine.current_phase.endswith('transition'):
+        # alpha resets once per growth (reference model grow()); it then
+        # accumulates across every epoch of the transition phase — same fix
+        # as PGGAN (the per-epoch reset was a sawtooth bug)
+        if (machine.current_phase.endswith('transition')
+                and machine.skip_count == 1 and not skip_batches):
             alpha = jnp.float32(0.0)
 
         key = (depth, g_mode, d_mode)
@@ -135,22 +173,53 @@ def train(args, dataset_factory):
                      d_opt=d_opt, alpha=alpha,
                      alpha_delta=jnp.float32(delta),
                      step=jnp.int32(status.batches_done))
-        for batch in accel.iter_loader(loader):
+
+        def save_snapshot(state, phase_batch_idx):
+            ckpt.save(status.batches_done, state, meta={
+                'status': status.state_dict(),
+                'machine': dict(
+                    current_phase=machine.current_phase,
+                    current_resolution=machine.current_resolution,
+                    skip_count=machine.skip_count,
+                    grow_flag=machine.grow_flag),
+                'phase_batch_idx': phase_batch_idx,
+            })
+
+        for bi, batch in enumerate(accel.iter_loader(loader)):
+            if bi < skip_batches:
+                continue   # deterministic loader; resume lands mid-phase
             state, metrics = jstep(state, batch)
             if status.batches_done % args.save == 0 and status.batches_done:
                 import numpy as np
+                import json
                 imgs = G.apply({'params': state['G']}, const_z, depth=depth,
                                mode=g_mode, alpha=state['alpha'],
                                rngs={'noise': sample_noise})
                 save_image(np.asarray(imgs),
                            os.path.join(out_dir, f'{status.batches_done}.png'),
                            nrow=4)
+                save_model(os.path.join(out_dir,
+                                        f'G_{status.batches_done}.msgpack'),
+                           state['G'])
+                with open(os.path.join(
+                        out_dir, f'G_{status.batches_done}.json'), 'w') as f:
+                    json.dump(dict(resolution=resl, depth=depth, mode=g_mode,
+                                   alpha=float(state['alpha'])), f)
+                save_snapshot(state, bi + 1)
+                check_sustained_nan(status, 'StyleGAN')
             status.update(**metrics)
+        skip_batches = 0
         rng, g_params, d_params = state['rng'], state['G'], state['D']
         g_opt, d_opt, alpha = state['g_opt'], state['d_opt'], state['alpha']
 
         running = machine.step()
         machine.should_grow()
+        # phase-boundary snapshot: a kill during the growth re-trace resumes
+        # at the first batch of the NEW phase/resolution
+        save_snapshot(dict(rng=rng, G=g_params, D=d_params, g_opt=g_opt,
+                           d_opt=d_opt, alpha=alpha,
+                           alpha_delta=jnp.float32(0.),
+                           step=jnp.int32(status.batches_done)), 0)
 
     status.plot_loss(os.path.join(out_dir, 'loss'))
     import numpy as np

@@ -57,9 +57,15 @@ def main():
               f'(whole {d_k}-step lazy-reg cadence cycles only)',
               file=sys.stderr)
 
+    import os
+    # A/B knob for the mapping-network-cost hypothesis (PERF_NOTES): the
+    # probe's 4.9 ms "mapping" figure is dispatch-dominated; the honest
+    # in-step cost is bounded by benching 2 vs 8 mapping layers.
+    map_layers = int(os.environ.get('ANIMEFACE_BENCH_MAP_LAYERS', '8'))
     args = EasyDict(
         image_size=image_size, image_channels=3, style_dim=512, channels=32,
-        max_channels=512, block_num_conv=2, map_num_layers=8, map_lr=0.01,
+        max_channels=512, block_num_conv=2, map_num_layers=map_layers,
+        map_lr=0.01,
         disable_map_norm=False, mbsd_groups=4, lr=1e-3, beta1=0.0, beta2=0.99,
         g_k=g_k, d_k=d_k, r1_lambda=10.0, pl_lambda=2.0,
         policy='', mesh=[-1], no_bf16=False, seed=0,
@@ -90,6 +96,12 @@ def main():
 
     def augment_fn(key, x, st):
         return pipe(key, x, st['ada']['p'])
+
+    # A/B knob bounding the WHOLE AugmentPipe's in-step cost (upper bound
+    # for any augment-call-batching lever): identity augment, same cadence
+    if os.environ.get('ANIMEFACE_BENCH_NO_AUG', '') == '1':
+        def augment_fn(key, x, st):   # noqa: F811
+            return x
 
     loss = NonSaturatingLoss()
 

@@ -271,11 +271,19 @@ def test_pggan_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
-def test_pggan_kill_resume(tmp_path):
-    '''Hard-kill PGGAN mid-G_transition (alpha ramp in progress, after the
-    4->8px growth re-trace) and --resume: final weights must be bitwise
-    identical to an uninterrupted run. The snapshot carries the phase
-    machine, per-resolution optimizer states, the alpha ramp, and the
+@pytest.mark.parametrize('model,kill_at', [
+    # PGGAN: 4px stab = 2 steps, so ckpt-3 lands inside the 8px
+    # G_transition (alpha ramp in progress, after the growth re-trace)
+    ('PGGAN', 3),
+    # StyleGAN: resl2num[4]=2 -> 4px = 4 steps; ckpt-6 lands mid
+    # 8px G_transition
+    ('StyleGAN', 6),
+])
+def test_progressive_kill_resume(tmp_path, model, kill_at):
+    '''Hard-kill a progressive-growing recipe mid-G_transition (alpha ramp
+    in progress, after a growth re-trace) and --resume: final weights must
+    be bitwise identical to an uninterrupted run. The snapshot carries the
+    phase machine, per-resolution optimizer states, the alpha ramp, and the
     mid-phase batch index (new capability vs the reference, SURVEY §3.3/§5).
     '''
     import subprocess
@@ -289,10 +297,11 @@ def test_pggan_kill_resume(tmp_path):
         "from animeface_tpu.utils import argument\n"
         "argument.IMPLEMENTATIONS_DIR = sys.argv.pop(1)\n"
         "from importlib import import_module\n"
-        "import_module('animeface_tpu.implementations.PGGAN')"
+        "import_module('animeface_tpu.implementations.{model}')"
         ".main(argument.get_default_parser())\n"
-    ).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    common = ['PGGAN', '--synthetic-data', '--num-images', '64',
+    ).format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             model=model)
+    common = [model, '--synthetic-data', '--num-images', '64',
               '--image-size', '8', '--batch-size', '8', '--latent-dim', '16',
               '--save', '3', '--no-bf16', '--max-iters', '0']
 
@@ -300,7 +309,7 @@ def test_pggan_kill_resume(tmp_path):
         proc = subprocess.Popen(
             [sys.executable, '-c', script, str(out_root), *common, *extra],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        ckpt_dir = os.path.join(str(out_root), 'PGGAN', 'result', 'checkpoint')
+        ckpt_dir = os.path.join(str(out_root), model, 'result', 'checkpoint')
         import time
         t0 = time.time()
         while proc.poll() is None and time.time() - t0 < timeout:
@@ -316,14 +325,13 @@ def test_pggan_kill_resume(tmp_path):
     base_root = tmp_path / 'base'
     kill_root = tmp_path / 'kill'
     assert run(base_root) == 'done'
-    # ckpt-3 lands inside the 8px G_transition phase (4px stab = 2 steps)
-    assert run(kill_root, kill_at_ckpt=3) == 'killed'
+    assert run(kill_root, kill_at_ckpt=kill_at) == 'killed'
     assert run(kill_root, extra=(
-        '--resume', os.path.join(str(kill_root), 'PGGAN', 'result',
+        '--resume', os.path.join(str(kill_root), model, 'result',
                                  'checkpoint'))) == 'done'
 
     def final(root):
-        path = os.path.join(str(root), 'PGGAN', 'result', 'G_final.msgpack')
+        path = os.path.join(str(root), model, 'result', 'G_final.msgpack')
         with open(path, 'rb') as f:
             return msgpack_restore(f.read())
     import jax
