@@ -128,10 +128,20 @@ def train(args, dataset_factory):
         machine.skip_count = int(m['skip_count'])
         machine.grow_flag = bool(m['grow_flag'])
         skip_batches = int(meta['phase_batch_idx'])
-        current_resl = machine.current_resolution  # keep restored opt states
-        lr = config.resl2lr[current_resl]
-        g_tx = optax.adam(lr, b1=config.betas[0], b2=config.betas[1])
-        d_tx = optax.adam(lr, b1=config.betas[0], b2=config.betas[1])
+        # growth-boundary snapshots carry the PREVIOUS resolution's Adam
+        # moments; the fresh path re-initializes optimizers at every
+        # resolution change, so resume must too (same fix as PGGAN)
+        opt_fresh = meta.get('opt_fresh',
+                             machine.current_phase == 'G_transition'
+                             and machine.skip_count == 1
+                             and skip_batches == 0)
+        if opt_fresh:
+            g_opt = d_opt = None   # loop top re-inits (current_resl = -1)
+        else:
+            current_resl = machine.current_resolution
+            lr = config.resl2lr[current_resl]
+            g_tx = optax.adam(lr, b1=config.betas[0], b2=config.betas[1])
+            d_tx = optax.adam(lr, b1=config.betas[0], b2=config.betas[1])
         if meta.get('status'):
             status.load_state_dict(meta['status'])
         status.print(f'[resume] from {args.resume} @ step '
@@ -183,6 +193,7 @@ def train(args, dataset_factory):
                     skip_count=machine.skip_count,
                     grow_flag=machine.grow_flag),
                 'phase_batch_idx': phase_batch_idx,
+                'opt_fresh': False,   # mid-phase: optimizers are live
             })
 
         for bi, batch in enumerate(accel.iter_loader(loader)):
@@ -215,11 +226,23 @@ def train(args, dataset_factory):
         running = machine.step()
         machine.should_grow()
         # phase-boundary snapshot: a kill during the growth re-trace resumes
-        # at the first batch of the NEW phase/resolution
-        save_snapshot(dict(rng=rng, G=g_params, D=d_params, g_opt=g_opt,
-                           d_opt=d_opt, alpha=alpha,
-                           alpha_delta=jnp.float32(0.),
-                           step=jnp.int32(status.batches_done)), 0)
+        # at the first batch of the NEW phase/resolution; opt_fresh marks a
+        # resolution change (resume re-inits instead of restoring moments)
+        ckpt.save(status.batches_done,
+                  dict(rng=rng, G=g_params, D=d_params, g_opt=g_opt,
+                       d_opt=d_opt, alpha=alpha,
+                       alpha_delta=jnp.float32(0.),
+                       step=jnp.int32(status.batches_done)),
+                  meta={
+                      'status': status.state_dict(),
+                      'machine': dict(
+                          current_phase=machine.current_phase,
+                          current_resolution=machine.current_resolution,
+                          skip_count=machine.skip_count,
+                          grow_flag=machine.grow_flag),
+                      'phase_batch_idx': 0,
+                      'opt_fresh': machine.current_resolution != resl,
+                  })
 
     status.plot_loss(os.path.join(out_dir, 'loss'))
     import numpy as np

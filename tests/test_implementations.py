@@ -275,6 +275,11 @@ def test_pggan_end_to_end(tmp_path):
     # PGGAN: 4px stab = 2 steps, so ckpt-3 lands inside the 8px
     # G_transition (alpha ramp in progress, after the growth re-trace)
     ('PGGAN', 3),
+    # PGGAN at the GROWTH BOUNDARY: ckpt-2 is the 4->8px boundary snapshot
+    # (opt_fresh=True — resume must re-init the optimizers exactly like the
+    # fresh path does at a resolution change; restoring the 4px Adam
+    # moments diverged, caught by the r4 soak)
+    ('PGGAN', 2),
     # StyleGAN: resl2num[4]=2 -> 4px = 4 steps; ckpt-6 lands mid
     # 8px G_transition
     ('StyleGAN', 6),
