@@ -111,9 +111,11 @@ def main():
 
     finite = {k: bool(np.isfinite(np.asarray(v, np.float64)).all())
               for k, v in hist.items()}
+    first_at = {}
+    for s, m in resl_points:
+        first_at.setdefault(m.get('resolution'), s)
     resl_line = ' -> '.join(
-        f'{m["resolution"]}px@{s}' for s, m in resl_points
-        if m.get('resolution') in seen and not seen.discard(None))
+        f'{r}px@{s}' for r, s in sorted(first_at.items(), key=lambda kv: kv[1]))
     gate = (f'{trend["gate_ok"]} '
             f'({trend["results"][0]["fd"]:.1f} -> '
             f'{trend["results"][-1]["fd"]:.1f})') if trend else 'not run'
@@ -137,6 +139,16 @@ with a SIGKILL + `--resume` seam crossing a growth boundary (red line).
 The alpha trace shows one clean 0 -> 1 ramp per transition phase
 (the per-epoch reset bug this soak caught is fixed — see commit
 "PGGAN: alpha ramp persists across transition-phase epochs").
+
+Found and fixed by this soak (both committed):
+
+* transition-phase alpha was reset to 0 at the top of EVERY epoch
+  (sawtooth) — the reference resets only at grow();
+* growth-boundary snapshots carried the PREVIOUS resolution's Adam
+  moments and resume restored them, silently diverging from an
+  uninterrupted run (which re-initializes optimizers at each resolution
+  change). After the `opt_fresh` fix the resumed run replays the
+  killed run's post-boundary steps BITWISE (identical logged d/g).
 
 Sample grids (first / middle / last): {", ".join(picks)}
 ''')
