@@ -96,10 +96,71 @@ class Checkpointer:
             raise FileNotFoundError(f'no checkpoints in {self.directory}')
         path = os.path.join(self.directory, f'ckpt-{int(step)}')
         with open(os.path.join(path, 'state.msgpack'), 'rb') as f:
-            state = serialization.from_bytes(target, f.read())
+            raw = f.read()
+        try:
+            state = serialization.from_bytes(target, raw)
+        except (ValueError, KeyError) as e:
+            state = _restore_with_migration(target, raw, path, e)
+        _check_leaf_shapes(target, state, path)
         with open(os.path.join(path, 'meta.json'), encoding='utf-8') as f:
             meta = json.load(f)
         return state, meta
+
+
+def _check_leaf_shapes(target, state, path: str) -> None:
+    '''flax from_bytes replaces template leaves WITHOUT shape validation, so a
+    checkpoint from a differently-sized model restores "successfully" and only
+    fails later inside jit with an opaque error. Fail early instead.'''
+    t_leaves = jax.tree_util.tree_leaves_with_path(target)
+    s_leaves = jax.tree_util.tree_leaves(state)
+    for (keypath, t), s in zip(t_leaves, s_leaves):
+        ts = getattr(t, 'shape', None)
+        ss = getattr(s, 'shape', None)
+        if ts is not None and ss is not None and tuple(ts) != tuple(ss):
+            raise ValueError(
+                f'checkpoint {path}: leaf {jax.tree_util.keystr(keypath)} has '
+                f'shape {tuple(ss)} but the template expects {tuple(ts)} — '
+                f'wrong model size/config for this snapshot')
+
+
+def _restore_with_migration(target, raw: bytes, path: str, orig_err):
+    '''Forward-compatible restore for checkpoints written before a state
+    leaf was added (e.g. the round-4 `ada['count']` leaf: flax from_bytes
+    restores by exact structure, so old snapshots would hard-fail).
+
+    Missing keys are default-filled from the template (LOUDLY), extra keys in
+    the file are dropped (LOUDLY). Anything else re-raises the original
+    error — silent shape/dtype mismatches must stay fatal.
+    '''
+    loaded = serialization.msgpack_restore(raw)
+    template_sd = serialization.to_state_dict(target)
+    filled, dropped = [], []
+
+    def merge(tmpl, got, prefix):
+        if not isinstance(tmpl, dict):
+            return got
+        out = {}
+        got = got if isinstance(got, dict) else {}
+        for k, v in tmpl.items():
+            if k in got:
+                out[k] = merge(v, got[k], f'{prefix}/{k}')
+            else:
+                filled.append(f'{prefix}/{k}')
+                out[k] = v
+        for k in got:
+            if k not in tmpl:
+                dropped.append(f'{prefix}/{k}')
+        return out
+
+    merged = merge(template_sd, loaded, '')
+    if not filled and not dropped:
+        raise orig_err
+    print(f'[checkpoint] MIGRATED restore from {path}:')
+    for p in filled:
+        print(f'[checkpoint]   missing leaf default-filled from template: {p}')
+    for p in dropped:
+        print(f'[checkpoint]   obsolete leaf in file dropped: {p}')
+    return serialization.from_state_dict(target, merged)
 
 
 def save_model(path: str, params) -> None:

@@ -105,9 +105,18 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int | None = None,
-                 seed: int = 0, shard_count: int = 1, shard_index: int = 0,
-                 prefetch: int = 4):
+                 seed: int = 0, shard_count: int | None = None,
+                 shard_index: int = 0, prefetch: int = 4):
         assert batch_size >= 1
+        if shard_count is None:
+            # multi-host default: shard epochs across processes and split the
+            # GLOBAL --batch-size into per-process slices (shard_batch then
+            # assembles the global array from them). Single-process runs hit
+            # the degenerate (1, 0) path with batch_size unchanged.
+            from animeface_tpu.parallel.multihost import (
+                process_shard, local_batch_size)
+            shard_count, shard_index = process_shard()
+            batch_size = local_batch_size(batch_size)
         assert 0 <= shard_index < shard_count
         self.dataset = dataset
         self.batch_size = batch_size

@@ -44,9 +44,16 @@ class DeviceDataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
-                 shard_count: int = 1, shard_index: int = 0,
+                 shard_count: int | None = None, shard_index: int = 0,
                  max_bytes: int = 6 << 30, decode_dtype=None):
         assert batch_size >= 1
+        if shard_count is None:
+            # multi-host default (see DataLoader): per-process epoch shard,
+            # GLOBAL batch size split across processes
+            from animeface_tpu.parallel.multihost import (
+                process_shard, local_batch_size)
+            shard_count, shard_index = process_shard()
+            batch_size = local_batch_size(batch_size)
         assert 0 <= shard_index < shard_count
         self.batch_size = batch_size
         self.shuffle = shuffle

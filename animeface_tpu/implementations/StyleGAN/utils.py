@@ -200,6 +200,10 @@ def train(args, dataset_factory):
             if bi < skip_batches:
                 continue   # deterministic loader; resume lands mid-phase
             state, metrics = jstep(state, batch)
+            # Update FIRST so the snapshot's Status history includes the
+            # checkpointed batch (phase_batch_idx=bi+1 skips it on resume) —
+            # round-4 advisor finding, mirrored from PGGAN.
+            status.update(**metrics)
             if status.batches_done % args.save == 0 and status.batches_done:
                 import numpy as np
                 import json
@@ -218,7 +222,6 @@ def train(args, dataset_factory):
                                    alpha=float(state['alpha'])), f)
                 save_snapshot(state, bi + 1)
                 check_sustained_nan(status, 'StyleGAN')
-            status.update(**metrics)
         skip_batches = 0
         rng, g_params, d_params = state['rng'], state['G'], state['D']
         g_opt, d_opt, alpha = state['g_opt'], state['d_opt'], state['alpha']

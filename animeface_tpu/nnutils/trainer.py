@@ -27,22 +27,25 @@ from animeface_tpu.utils.argument import result_dir
 
 def check_sustained_nan(status, name: str, window: int = 10) -> None:
     '''Failure detection (SURVEY §5, new capability — not a port): raise when
-    every mature loss series has been non-finite for `window` consecutive
+    ANY mature loss series has been non-finite for `window` consecutive
     steps. Series shorter than `window` (keys that first appeared mid-run)
-    neither trip the guard nor veto it for the mature series.'''
+    do not trip the guard.
+
+    "Any series" (not "all series") is deliberate: always-finite auxiliary
+    metrics (PGGAN's alpha ramp, ADA's clamped p) would otherwise veto the
+    guard forever even while d/g are NaN (round-4 advisor finding). Aux
+    metrics are finite by construction, so they never trip it; a loss that
+    is NaN for a full window means the run is dead regardless of the others.
+    '''
     import math
-    checked = False
-    for tail in status.loss_tail(window).values():
+    for key, tail in status.loss_tail(window).items():
         if len(tail) < window:
             continue
-        checked = True
-        if any(math.isfinite(v) for v in tail):
-            return
-    if checked:
-        raise FloatingPointError(
-            f'[{name}] all losses non-finite for {window} consecutive '
-            f'steps at iter {status.batches_done}; aborting (resume from '
-            f'the last checkpoint with --resume)')
+        if not any(math.isfinite(v) for v in tail):
+            raise FloatingPointError(
+                f'[{name}] loss series {key!r} non-finite for {window} '
+                f'consecutive steps at iter {status.batches_done}; aborting '
+                f'(resume from the last checkpoint with --resume)')
 
 
 def host_step_counter():
@@ -89,7 +92,6 @@ def run_training(
     status: Status | None = None,
     checkpoint_keep: int = 3,
     nrow: int = 4,
-    on_step_end: Callable | None = None,      # (state, status) -> state hook
     sample_interval: int | None = None,       # sample cadence if != save
 ):
     out_dir = result_dir(name)
@@ -125,6 +127,14 @@ def run_training(
 
     def save_snapshot(state, do_sample=True):
         step = status.batches_done
+        # replica-drift detection at checkpoint cadence (the reference's
+        # check_ddp_consistency intent, thirdparty/stylegan2_ops/misc.py:175
+        # — vendored-and-dormant there, actually wired here): replicated
+        # leaves must be bit-identical across devices or the run has silently
+        # forked. Skipped on single-device meshes (nothing to compare).
+        if accel.num_devices > 1:
+            from animeface_tpu.parallel import assert_replica_consistency
+            assert_replica_consistency(state, name=name)
         # params-level failure detection: recipes that sanitize logged losses
         # (nan_to_num, reference behavior) can still diverge silently — probe
         # one weight leaf per top-level state entry at checkpoint cadence.
@@ -164,6 +174,13 @@ def run_training(
     while not done:
         for batch in accel.iter_loader(loader):
             state, metrics = train_step(state, batch)
+            # Update BEFORE the cadence branches so (a) the snapshot's Status
+            # history includes the checkpointed batch (it matches the state's
+            # device step exactly) and (b) the save branch cannot re-fire at
+            # the same batches_done label on the first post-resume step,
+            # overwriting a checkpoint with one-step-ahead params under the
+            # same name (round-4 advisor finding).
+            status.update(**{k: v for k, v in metrics.items()})
             if status.batches_done % save_interval == 0 and status.batches_done > 0:
                 save_snapshot(state, do_sample=(
                     sample_interval is None
@@ -174,7 +191,6 @@ def run_training(
                 images = np.asarray(sample_fn(state))
                 save_image(images, os.path.join(
                     out_dir, f'{status.batches_done}.png'), nrow=nrow)
-            status.update(**{k: v for k, v in metrics.items()})
             if status.batches_done % guard_every == 0:
                 _check_finite()
             if status.batches_done >= max_iters:

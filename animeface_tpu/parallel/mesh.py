@@ -17,6 +17,7 @@ DP; TP pays at >512px widths where per-chip HBM or conv FLOPs bind.
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import Iterable
 
@@ -27,6 +28,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 SPATIAL_AXIS = 'spatial'
+
+# Activation-sharding seam for spatial parallelism. A generator's synthesis
+# stack starts from a REPLICATED latent, so GSPMD has no H-sharded operand to
+# propagate from — without explicit constraints every G activation (and its
+# saved-for-backward copy) stays replicated over the 'spatial' axis and sp
+# buys no activation memory. `Accelerator.jit_step` pushes the mesh's spatial
+# sharding here while the step traces; model code calls `constrain_spatial`
+# at block seams (identity when no spatial axis is active — pure-dp traces
+# are bit-identical to before).
+_ACTIVATION_SHARDING: list = [None]
+
+
+@contextlib.contextmanager
+def activation_sharding(sharding):
+    _ACTIVATION_SHARDING.append(sharding)
+    try:
+        yield
+    finally:
+        _ACTIVATION_SHARDING.pop()
+
+
+def spatial_activation_sharding(mesh: Mesh):
+    '''The [B,H,W,C] activation sharding for a mesh with a spatial axis
+    (None otherwise): batch over 'data', image H over 'spatial'.'''
+    if SPATIAL_AXIS not in mesh.axis_names:
+        return None
+    return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+
+
+def constrain_spatial(x):
+    '''Constrain an NHWC activation to the active spatial sharding (no-op
+    outside an `activation_sharding` context or for non-4D values).'''
+    s = _ACTIVATION_SHARDING[-1]
+    if s is None or getattr(x, 'ndim', 0) != 4:
+        return x
+    return jax.lax.with_sharding_constraint(x, s)
 
 
 def make_mesh(shape=(-1,), axis_names=None, devices=None) -> Mesh:
@@ -66,9 +103,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    '''Host array(s) -> device array(s) sharded on the batch axis.'''
+    '''Host array(s) -> device array(s) sharded on the batch axis.
+
+    Multi-host: each process holds only its 1/process_count slice of the
+    global batch (the loader's process shard); the global jax.Array is
+    assembled from the per-process local slices without any cross-host
+    data movement (`jax.make_array_from_process_local_data`).'''
+    multiprocess = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        sharding = data_sharding(mesh, np.ndim(x))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
     return jax.tree_util.tree_map(put, batch)
 
 
@@ -144,13 +192,52 @@ def prefetch_to_device(iterator: Iterable, mesh: Mesh, size: int = 2):
             yield buf.popleft()
 
 
-def check_replica_consistency(tree, mesh: Mesh, atol: float = 0.0) -> bool:
-    '''Assert replicated params are bit-identical across devices — the intent
-    of the reference's dormant `check_ddp_consistency`
-    (thirdparty/stylegan2_ops/misc.py:175).'''
-    for leaf in jax.tree_util.tree_leaves(tree):
-        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+def find_replica_drift(tree, atol: float = 0.0) -> str | None:
+    '''Return a description of the first drifted replicated leaf, or None.
+
+    The intent of the reference's dormant `check_ddp_consistency`
+    (thirdparty/stylegan2_ops/misc.py:175-187) — but actually wired into the
+    training path (trainer.save_snapshot) rather than vendored-and-unused.
+    Leaves that are deliberately NOT fully replicated (tensor-parallel kernel
+    shards, sharded batches) are skipped: their shards differ by design.
+    '''
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        if not isinstance(leaf, jax.Array):
+            continue
+        sharding = getattr(leaf, 'sharding', None)
+        if sharding is None or not sharding.is_fully_replicated:
+            continue
+        shards = leaf.addressable_shards
+        if len(shards) < 2:
+            continue
+        base = np.asarray(shards[0].data)
         for s in shards[1:]:
-            if not np.allclose(shards[0], s, atol=atol):
-                return False
-    return True
+            data = np.asarray(s.data)
+            if not np.allclose(base, data, atol=atol, equal_nan=True):
+                err = float(np.max(np.abs(
+                    data.astype(np.float64) - base.astype(np.float64))))
+                return (f'{jax.tree_util.keystr(path)}: device '
+                        f'{s.device} diverges from device '
+                        f'{shards[0].device} (max |delta| = {err:g})')
+    return None
+
+
+def check_replica_consistency(tree, mesh: Mesh = None, atol: float = 0.0) -> bool:
+    '''Boolean form of `find_replica_drift` (reference
+    `check_ddp_consistency`, thirdparty/stylegan2_ops/misc.py:175).'''
+    return find_replica_drift(tree, atol=atol) is None
+
+
+def assert_replica_consistency(tree, name: str = '', atol: float = 0.0) -> None:
+    '''Raise loudly when replicated state has drifted across devices.
+
+    Called at checkpoint cadence by the shared trainer so silent replica
+    divergence (a non-deterministic collective, a host-dependent branch)
+    is caught when it happens, not when samples degrade.'''
+    drift = find_replica_drift(tree, atol=atol)
+    if drift is not None:
+        raise RuntimeError(
+            f'[{name}] replica consistency check FAILED at {drift}. '
+            f'Replicated training state must be bit-identical on every '
+            f'device; this run has diverged (non-deterministic op or '
+            f'host-dependent branch?). Not checkpointing the drifted state.')

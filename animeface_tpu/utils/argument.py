@@ -48,6 +48,8 @@ def get_default_parser() -> ArgumentParser:
     default_args.device_data    = [False, 'Keep the whole dataset resident in device memory (uint8), '
                                           'gather+decode batches on device; for datasets that fit HBM']
     default_args.mesh           = [[-1], 'Device mesh shape, data axis first; -1 = all devices data-parallel']
+    default_args.multihost      = [False, 'Initialize jax.distributed for multi-host (pod-slice) execution; '
+                                          'see parallel/multihost.py for the launch contract']
     default_args.no_bf16        = [False, 'Disable bfloat16 compute (use float32)']
     default_args.resume         = [str, 'Checkpoint directory to resume training from']
     default_args.profile        = [False, 'Capture a jax profiler trace of a few steps']

@@ -23,6 +23,10 @@ def main():
     args = parser.parse_known_args()[0]
     if args.debug:
         debug_mode()
+    # multi-host: must run before the first jax backend touch so the mesh
+    # the recipe builds spans the whole slice (no-op unless requested)
+    from animeface_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed(args)
     try:
         module = import_module(f'animeface_tpu.implementations.{args.name}')
     except ModuleNotFoundError as e:

@@ -212,6 +212,14 @@ def test_status_loss_tail_and_nan_guard():
         s2.update(G=nan if i != 8 else 0.1)
     check_sustained_nan(s2, 'test')
 
+    # round-4 advisor finding: an always-finite aux metric (alpha/p) must NOT
+    # veto the guard when an actual loss series is sustained-non-finite
+    s4 = Status(max_iters=100, bar=False)
+    for i in range(12):
+        s4.update(d=nan, g=nan, alpha=min(1.0, i / 10))
+    with pytest.raises(FloatingPointError):
+        check_sustained_nan(s4, 'test')
+
     # nothing mature yet -> no-op (never raises on short history)
     s3 = Status(max_iters=100, bar=False)
     for _ in range(5):

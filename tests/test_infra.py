@@ -113,6 +113,36 @@ def test_checkpointer_roundtrip(tmp_path):
     assert int(restored['step']) == 7  # saved value
 
 
+def test_checkpointer_migrates_added_leaf(tmp_path, capsys):
+    '''Round-4 advisor (low): ada_init_state gained a `count` leaf; snapshots
+    written before the change must still restore — missing leaves are
+    default-filled from the template (loudly), obsolete leaves dropped.'''
+    ck = Checkpointer(str(tmp_path))
+    old_state = {'ada': {'p': jnp.float32(0.3), 'signsum': jnp.float32(1.0),
+                         'legacy': jnp.float32(9.)},
+                 'step': jnp.int32(5)}
+    ck.save(5, old_state)
+
+    # the template the NEW code restores with: +count, -legacy
+    template = {'ada': {'p': jnp.float32(0.), 'signsum': jnp.float32(0.),
+                        'count': jnp.int32(0)},
+                'step': jnp.int32(0)}
+    restored, _ = ck.restore(template)
+    assert float(restored['ada']['p']) == pytest.approx(0.3)
+    assert int(restored['ada']['count']) == 0        # default-filled
+    assert 'legacy' not in restored['ada']
+    assert int(restored['step']) == 5
+    out = capsys.readouterr().out
+    assert 'MIGRATED' in out and 'count' in out and 'legacy' in out
+
+    # a shape mismatch must be fatal at restore time (flax from_bytes would
+    # silently hand back the wrong-shaped leaf and fail later inside jit)
+    ck2 = Checkpointer(str(tmp_path / 'strict'))
+    ck2.save(1, {'w': jnp.zeros((2, 2))})
+    with pytest.raises(ValueError, match='shape'):
+        ck2.restore({'w': jnp.zeros((3, 3))})
+
+
 def test_checkpointer_empty_raises(tmp_path):
     ck = Checkpointer(str(tmp_path))
     with pytest.raises(FileNotFoundError):
@@ -166,6 +196,71 @@ def test_trainer_aborts_on_nonfinite(tmp_path, monkeypatch):
     with pytest.raises(FloatingPointError, match='non-finite'):
         run_training(name='nanrun2', args=args, accel=accel, state=state,
                      loader=Loader(), train_step=nan_param_step,
+                     sample_fn=None, max_iters=50, save_interval=5)
+
+
+def _make_drifted_replicated(mesh, shape=(4,)):
+    '''A "replicated" array whose per-device buffers actually differ —
+    the failure mode a non-deterministic collective would produce.'''
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P())
+    bufs = [jax.device_put(np.full(shape, float(i), np.float32), d)
+            for i, d in enumerate(mesh.devices.flat)]
+    return jax.make_array_from_single_device_arrays(shape, sh, bufs)
+
+
+def test_replica_drift_detection():
+    '''find_replica_drift catches divergent replicated leaves, skips
+    deliberately-sharded ones (TP kernels, data batches).'''
+    from animeface_tpu.parallel import (
+        find_replica_drift, assert_replica_consistency)
+    mesh = make_mesh((-1,))
+
+    clean = replicate({'w': jnp.ones((4,))}, mesh)
+    assert find_replica_drift(clean) is None
+
+    drifted = {'G': {'w': _make_drifted_replicated(mesh)}}
+    msg = find_replica_drift(drifted)
+    assert msg is not None and 'w' in msg
+    with pytest.raises(RuntimeError, match='replica consistency'):
+        assert_replica_consistency(drifted, name='test')
+
+    # a batch-sharded array's shards differ by design: not drift
+    batch = shard_batch(np.arange(16, dtype=np.float32).reshape(16, 1), mesh)
+    assert find_replica_drift({'batch': batch}) is None
+
+
+def test_trainer_aborts_on_replica_drift(tmp_path, monkeypatch):
+    '''VERDICT r4 item 6: the consistency check is wired into the training
+    loop at checkpoint cadence — a step that forks the replicas aborts the
+    run instead of checkpointing the drifted state.'''
+    from animeface_tpu.utils import EasyDict
+    from animeface_tpu.utils import argument
+    from animeface_tpu.nnutils.trainer import run_training
+
+    monkeypatch.setattr(argument, 'IMPLEMENTATIONS_DIR', str(tmp_path))
+
+    class Loader:
+        def __len__(self):
+            return 100
+
+        def __iter__(self):
+            for _ in range(100):
+                yield jnp.zeros((8, 2))
+
+    accel = Accelerator(mesh_shape=(-1,), bf16=False)
+
+    def drifting_step(state, batch):
+        # bypasses jit deliberately: inject per-device divergence the way a
+        # buggy non-SPMD host interaction would
+        return {'G': {'w': _make_drifted_replicated(accel.mesh)},
+                'step': state['step'] + 1}, {'d': jnp.float32(0.)}
+
+    args = EasyDict(log_interval=1, log_file='/dev/null', resume=None)
+    state = {'G': {'w': jnp.zeros((4,))}, 'step': jnp.int32(0)}
+    with pytest.raises(RuntimeError, match='replica consistency'):
+        run_training(name='driftrun', args=args, accel=accel, state=state,
+                     loader=Loader(), train_step=drifting_step,
                      sample_fn=None, max_iters=50, save_interval=5)
 
 
