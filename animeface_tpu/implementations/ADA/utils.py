@@ -76,6 +76,10 @@ def main(parser):
         ada_threshold=[0.6, 'sign(D(real)) threshold'],
     ))
     args = parser.parse_args()
+    # reference ADA/utils.py:131,191: the recipe-level `logfile` IS its
+    # Status log file; honor it as an alias of the global --log-file
+    if args.logfile and not args.log_file:
+        args.log_file = args.logfile
     save_args(args)
 
     loader = build_loader(args, 'image')

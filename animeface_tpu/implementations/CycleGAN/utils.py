@@ -98,8 +98,14 @@ def train(args, max_iters, loader, test_batch, name='CycleGAN'):
     accel = Accelerator(mesh_shape=tuple(args.mesh), bf16=not args.no_bf16)
     keys = KeyGen(args.seed)
 
-    a_ch = int(test_batch[0].shape[-1])
-    b_ch = int(test_batch[1].shape[-1])
+    # channel counts come from the CLI (reference CycleGAN/utils.py:203-220
+    # passes line_channels/rgb_channels into every constructor); the data
+    # batch is asserted against them so a mismatch fails here, not in jit
+    a_ch, b_ch = int(args.rgb_channels), int(args.line_channels)
+    assert (a_ch, b_ch) == (test_batch[0].shape[-1], test_batch[1].shape[-1]), \
+        (f'--rgb-channels/--line-channels ({a_ch},{b_ch}) do not match the '
+         f'dataset batch channels '
+         f'({test_batch[0].shape[-1]},{test_batch[1].shape[-1]})')
     mk_g = lambda i, o: Generator(
         image_size=args.image_size, in_channels=i, out_channels=o,
         target_resl=args.downsample_to, channels=args.channels,

@@ -105,7 +105,12 @@ def train(args, max_iters, loader, test_batch):
     accel = Accelerator(mesh_shape=tuple(args.mesh), bf16=not args.no_bf16)
     keys = KeyGen(args.seed)
 
-    sk_ch = int(test_batch[1].shape[-1])
+    # sketch-input width comes from the CLI (reference SCFT/utils.py:198,203
+    # passes sketch_channels into G and D); asserted against the data batch
+    sk_ch = int(args.sketch_channels)
+    assert sk_ch == test_batch[1].shape[-1], \
+        (f'--sketch-channels {sk_ch} does not match the dataset sketch '
+         f'channels {test_batch[1].shape[-1]}')
     G = Generator(image_size=args.image_size, in_channels=sk_ch,
                   ref_channels=args.ref_channels,
                   bottom_width=args.bottom_width,

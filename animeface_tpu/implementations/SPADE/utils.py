@@ -111,7 +111,12 @@ def train(args, max_iters, loader, test_batch):
     accel = Accelerator(mesh_shape=tuple(args.mesh), bf16=not args.no_bf16)
     keys = KeyGen(args.seed)
 
-    seg_ch = int(test_batch[1].shape[-1])
+    # seg-input width comes from the CLI (reference SPADE/utils.py:217,223
+    # passes line_channels into G and D); asserted against the data batch
+    seg_ch = int(args.line_channels)
+    assert seg_ch == test_batch[1].shape[-1], \
+        (f'--line-channels {seg_ch} does not match the dataset line-art '
+         f'channels {test_batch[1].shape[-1]}')
     G = Generator(image_size=args.image_size, z_dim=args.z_dim,
                   in_channels=seg_ch, out_channels=args.rgb_channels,
                   channels=args.channels, max_channels=args.max_channels,
@@ -123,7 +128,9 @@ def train(args, max_iters, loader, test_batch):
                   dtype=accel.compute_dtype)
     D = Discriminator(num_scale=args.num_scale, num_layers=args.num_layers,
                       channels=args.channels, sn=not args.d_disable_sn,
-                      act_name=args.d_act_name, dtype=accel.compute_dtype)
+                      act_name=args.d_act_name,
+                      use_bias=not args.d_disable_bias,
+                      dtype=accel.compute_dtype)
     E = None if args.no_encoder else Encoder(
         image_size=args.image_size, z_dim=args.z_dim,
         target_resl=args.target_resl, channels=args.channels,

@@ -98,8 +98,12 @@ def train(args, max_iters, loader, test_batch):
     accel = Accelerator(mesh_shape=tuple(args.mesh), bf16=not args.no_bf16)
     keys = KeyGen(args.seed)
 
-    a_ch = int(test_batch[0].shape[-1])
-    b_ch = int(test_batch[1].shape[-1])
+    # both domains are --image-channels wide (reference UGATIT/utils.py:
+    # 216-229 passes image_channels into all four nets); asserted vs data
+    a_ch = b_ch = int(args.image_channels)
+    assert (a_ch, b_ch) == (test_batch[0].shape[-1], test_batch[1].shape[-1]), \
+        (f'--image-channels {a_ch} does not match the dataset batch channels '
+         f'({test_batch[0].shape[-1]},{test_batch[1].shape[-1]})')
     mk = lambda io: Generator(image_size=args.image_size, bottom=args.bottom,
                               channels=args.g_channels,
                               max_channels=args.g_max_channels,

@@ -47,11 +47,24 @@ def main():
     p.add_argument('--style-dim', type=int, default=512)
     p.add_argument('--channels', type=int, default=32)
     p.add_argument('--max-channels', type=int, default=512)
+    p.add_argument('--map-num-layers', type=int, default=8,
+                   help='mapping depth (8 for the published checkpoint)')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--kid', action='store_true', help='also report KID')
+    p.add_argument('--synthetic-data', action='store_true',
+                   help='real stream from the procedural synthetic dataset '
+                        '(runbook dry-run / no datasets mounted)')
     args = p.parse_args()
 
+    import os
+
     import jax
+    # honor ANIMEFACE_PLATFORM like main.py (the axon sitecustomize overrides
+    # JAX_PLATFORMS, so a config update after import is the only way to force
+    # CPU — e.g. the runbook dry-run while the chip is busy)
+    platform = os.environ.get('ANIMEFACE_PLATFORM')
+    if platform:
+        jax.config.update('jax_platforms', platform)
     import jax.numpy as jnp
     from animeface_tpu.utils import EasyDict
     from animeface_tpu.checkpoint import load_model
@@ -61,7 +74,7 @@ def main():
     from animeface_tpu.implementations.StyleGAN2.model import Generator
     G = Generator(image_size=args.image_size, style_dim=args.style_dim,
                   channels=args.channels, max_channels=args.max_channels,
-                  dtype=jnp.bfloat16)
+                  map_num_layers=args.map_num_layers, dtype=jnp.bfloat16)
     z0 = jnp.zeros((1, args.style_dim))
     template = G.init({'params': jax.random.PRNGKey(0),
                        'noise': jax.random.PRNGKey(1)}, z0)['params']
@@ -75,7 +88,8 @@ def main():
         return images
 
     loader_args = EasyDict(
-        dataset=args.dataset, data_root=args.data_root, synthetic_data=False,
+        dataset=args.dataset, data_root=args.data_root,
+        synthetic_data=args.synthetic_data,
         image_size=args.image_size, batch_size=args.batch_size,
         min_year=None, num_images=None, seed=args.seed)
     loader = build_loader(loader_args, 'image')

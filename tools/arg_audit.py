@@ -92,6 +92,28 @@ ALLOW = {
     'PEinGAN': {
         'extra:embed_dim': 'SPE embedding width the reference hardcodes in '
                            'the model; exposed so smokes can shrink it',
+        # the TPU synthesis reuses the shared StyleGAN2 modulated blocks
+        # (SAME padding, fixed [1,3,3,1] blur, lrelu) — PEinGAN/model.py:11-14
+        # documents the pinning; args accepted for CLI parity with
+        # reference utils.py:134-144,178-189
+        'unused:pad': 'fixed: SAME-padded TPU synthesis; SPE supplies the '
+                      'spatial bias (model.py:11)',
+        'unused:filter_size': 'fixed: shared StyleGAN2 [1,3,3,1] blur '
+                              '(model.py:11)',
+        'unused:g_act_name': 'fixed lrelu in the shared modulated blocks '
+                             '(model.py:14)',
+        'unused:d_act_name': 'fixed lrelu in the shared D blocks '
+                             '(model.py:14)',
+    },
+    'AniGAN': {
+        'unused:gp_lambda': 'dead in the reference too — the gp term is '
+                            'commented out of D_loss '
+                            '(reference AniGAN/utils.py:86)',
+    },
+    'SinGAN': {
+        'unused:test_size': 'dead in the reference too — test_sizes() call '
+                            'is commented out '
+                            '(reference SinGAN/utils.py:176)',
     },
     'pix2pix': {
         'extra:drop_out': 'reference Generator(drop_out=0.0) constructor '
@@ -222,6 +244,76 @@ def audit(recipe):
     return drift
 
 
+def _attr_reads(recipe, _seen=None):
+    '''Every attribute name read anywhere in the recipe package (plus
+    getattr(x, 'name') constants) — the membership set for the wiring
+    audit. Follows imports of sibling implementation packages (ADA/APA
+    consume the backbone args inside implementations/StyleGAN3; Restormer
+    reuses NAFNet's loop). Coarse by design: it cannot prove an arg steers
+    behavior, but it catches the accepted-and-never-referenced class
+    exactly.'''
+    if _seen is None:
+        _seen = set()
+    if recipe in _seen:
+        return set()
+    _seen.add(recipe)
+    names = set()
+    siblings = set()
+    root = os.path.join(REPO, 'animeface_tpu', 'implementations', recipe)
+    for fname in os.listdir(root):
+        if not fname.endswith('.py'):
+            continue
+        with open(os.path.join(root, fname)) as f:
+            tree = ast.parse(f.read(), fname)
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute):
+                names.add(node.attr)
+            elif (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Name)
+                    and node.func.id == 'getattr' and len(node.args) >= 2
+                    and isinstance(node.args[1], ast.Constant)):
+                names.add(node.args[1].value)
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                mod = getattr(node, 'module', None) or ''
+                for alias in getattr(node, 'names', []):
+                    for dotted in (mod, alias.name):
+                        parts = dotted.split('.')
+                        if (len(parts) >= 3
+                                and parts[:2] == ['animeface_tpu',
+                                                  'implementations']
+                                and parts[2] != recipe):
+                            siblings.add(parts[2])
+    for sib in siblings:
+        if os.path.isdir(os.path.join(
+                REPO, 'animeface_tpu', 'implementations', sib)):
+            names |= _attr_reads(sib, _seen)
+    return names
+
+
+def wiring_audit(recipe):
+    '''VERDICT r4 item 5: flag schema args that are parsed but never read
+    past parsing (`args.<name>` / getattr never appears in the recipe
+    package). Hits must be implemented or declared with an
+    `unused:<arg>` ALLOW entry explaining why acceptance-only is correct.'''
+    repo_path = os.path.join(REPO, 'animeface_tpu', 'implementations',
+                             recipe, 'utils.py')
+    schema = extract_add_args(repo_path)
+    reads = _attr_reads(recipe)
+    allowed = {**ALLOW.get('*', {}), **ALLOW.get(recipe, {})}
+    drift = []
+    for raw in sorted(schema):
+        # argparse converts dashes to underscores in the Namespace dest
+        name = raw.replace('-', '_')
+        if name in reads:
+            continue
+        if f'unused:{name}' in allowed:
+            continue
+        drift.append(f'{recipe}: --{name} is accepted but never read past '
+                     f'parsing (no args.{name} / getattr in the recipe '
+                     f'package); wire it or declare unused:{name} in ALLOW')
+    return drift
+
+
 def all_recipes():
     root = os.path.join(REPO, 'animeface_tpu', 'implementations')
     return sorted(d for d in os.listdir(root)
@@ -233,6 +325,7 @@ def main():
     total = []
     for recipe in recipes:
         total += audit(recipe)
+        total += wiring_audit(recipe)
     for line in total:
         print(line)
     print(f'{len(total)} drift(s) across {len(recipes)} recipes',
