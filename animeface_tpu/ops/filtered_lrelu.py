@@ -251,13 +251,24 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up: int = 1, down: int = 1,
     out_w = (W * up + (px0 + px1) - (fu_w - 1) - (fd_w - 1) + (down - 1)) // down
     out_h = (H * up + (py0 + py1) - (fu_h - 1) - (fd_h - 1) + (down - 1)) // down
 
-    assert memory in ('store', 'pack'), memory
+    assert memory in ('store', 'pack', 'remat'), memory
     if memory == 'pack':
         out = _filtered_lrelu_packed(x, fu, fd, b, up, down,
                                      (px0, px1, py0, py1),
                                      gain, slope, clamp, flip_filter)
         assert out.shape == (N, out_h, out_w, C), (out.shape, (N, out_h, out_w, C))
         return out
+    if memory == 'remat':
+        # per-layer rematerialization: backward recomputes the 2x-resolution
+        # up-filtered intermediate from the layer input instead of storing
+        # ANY residual (pack still stores the 2-bit gate codes). The memory-
+        # scaling A/B lever named by the round-4 verdict (item 1); the blanket
+        # synthesis-wide remat was already refuted at -14% in round 2.
+        fn = jax.checkpoint(
+            lambda x_, b_: filtered_lrelu(
+                x_, fu, fd, b_, up, down, (px0, px1, py0, py1), gain, slope,
+                clamp, flip_filter, impl='xla', memory='store'))
+        return fn(x, b)
 
     impl = resolve_impl(impl)
     if impl == 'pallas':

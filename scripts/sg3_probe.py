@@ -30,7 +30,7 @@ from animeface_tpu.implementations.StyleGAN3.utils import (
     build_models, build_train_step, make_optimizers, init_state)
 
 
-def run(batch_size, memory, steps=32, image_size=256):
+def run(batch_size, memory, steps=32, image_size=256, remat='none'):
     args = EasyDict(
         image_size=image_size, image_channels=3, latent_dim=512, style_dim=512,
         num_layers=14, map_num_layers=2, channels=32, max_channels=512,
@@ -48,10 +48,14 @@ def run(batch_size, memory, steps=32, image_size=256):
     state, _ = init_state(args, G, D, g_tx, d_tx, keys)
 
     loss = NonSaturatingLoss()
+    remat_d = 'd' in remat.split('+')
+    remat_r1 = 'r1' in remat.split('+')
     jit_plain = accel.jit_step(build_train_step(
-        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, do_r1=False))
+        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, do_r1=False,
+        remat_d=remat_d))
     jit_r1 = accel.jit_step(build_train_step(
-        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, do_r1=True))
+        G, D, g_tx, d_tx, loss, args.policy, args.gp_lambda, do_r1=True,
+        remat_d=remat_d, remat_r1=remat_r1))
 
     state = accel.prepare(state)
     batch = accel.shard_batch(
@@ -68,22 +72,28 @@ def run(batch_size, memory, steps=32, image_size=256):
     float(m['d'])
     dt = time.perf_counter() - t0
     ips = batch_size * steps / dt / accel.num_devices
-    print(f'batch={batch_size} memory={memory}: {ips:.1f} img/s/chip '
-          f'({dt / steps * 1e3:.0f} ms/step)', flush=True)
+    print(f'batch={batch_size} memory={memory} remat={remat}: '
+          f'{ips:.1f} img/s/chip ({dt / steps * 1e3:.0f} ms/step)',
+          flush=True)
     return ips
 
 
 if __name__ == '__main__':
     argv = sys.argv[1:]
     memory = 'pack'
+    remat = 'none'
     if '--memory' in argv:
         i = argv.index('--memory')
         memory = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    if '--remat' in argv:
+        i = argv.index('--remat')
+        remat = argv[i + 1]   # none | d | r1 | d+r1 (flrelu via --memory remat)
+        argv = argv[:i] + argv[i + 2:]
     batches = [int(a) for a in argv] or [16, 32, 64]
     for b in batches:
         try:
-            run(b, memory)
+            run(b, memory, remat=remat)
         except Exception as e:  # noqa: BLE001 - report OOM per batch size
-            print(f'batch={b} memory={memory}: FAILED {type(e).__name__}: '
-                  f'{str(e)[:300]}', flush=True)
+            print(f'batch={b} memory={memory} remat={remat}: FAILED '
+                  f'{type(e).__name__}: {str(e)[:300]}', flush=True)

@@ -283,6 +283,35 @@ def test_filtered_lrelu_packed_matches_store(key):
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=1e-6)
 
 
+def test_filtered_lrelu_remat_matches_store(key):
+    '''memory='remat' (per-layer jax.checkpoint, the round-4 verdict's
+    memory-scaling lever) is numerically identical to plain autodiff:
+    forward, grads, and double-backward.'''
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (2, 8, 8, 6))
+    b = jax.random.normal(k2, (6,)) * 0.1
+    fu = setup_filter([1., 3., 3., 1.])
+    fd = setup_filter([1., 2., 1.])
+    kw = dict(up=2, down=2, padding=3, gain=np.sqrt(2), slope=0.2, clamp=0.5)
+
+    y0 = filtered_lrelu(x, fu, fd, b, **kw, memory='store')
+    y1 = filtered_lrelu(x, fu, fd, b, **kw, memory='remat')
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-7)
+
+    def loss(x, b, memory):
+        return jnp.sum(filtered_lrelu(x, fu, fd, b, **kw, memory=memory) ** 3)
+    g0 = jax.grad(loss, argnums=(0, 1))(x, b, 'store')
+    g1 = jax.grad(loss, argnums=(0, 1))(x, b, 'remat')
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g0[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]), atol=1e-6)
+
+    def gnorm(x, memory):
+        return jnp.sum(jax.grad(loss, argnums=0)(x, b, memory) ** 2)
+    h0 = jax.grad(gnorm)(x, 'store')
+    h1 = jax.grad(gnorm)(x, 'remat')
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=1e-6)
+
+
 @pytest.mark.parametrize('layout', ['int32', 'lanes', 'chan', 'u8'])
 def test_filtered_lrelu_packed_residual_is_small(key, layout):
     '''The backward residual really is the packed gate tensor, and every
