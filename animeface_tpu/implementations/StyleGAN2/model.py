@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from animeface_tpu.ops import setup_filter, filter2d
 from animeface_tpu.ops import upfirdn2d as upfirdn2d_op
+from animeface_tpu.parallel import constrain_spatial
 
 
 def _kernel_init(lr_mul: float = 1.0):
@@ -199,7 +200,11 @@ class StyleBlock(nn.Module):
             x = ModulatedConv(self.features, 3, dtype=self.dtype)(x, w_style)
             x = InjectNoise()(x)
             x = jax.nn.leaky_relu(x, 0.2)
-        return x
+        # spatial parallelism: pin the block output (and therefore its
+        # saved-for-backward copy) to the (data, spatial) sharding — G builds
+        # up from a replicated latent, so nothing else H-shards it (identity
+        # under pure dp; see parallel.constrain_spatial)
+        return constrain_spatial(x)
 
 
 class ToImage(nn.Module):
@@ -218,7 +223,7 @@ class ToImage(nn.Module):
         if self.upsample:
             x = (upsample2x_fused(x) if self.fused_resample
                  else upsample2x_bilinear(x))
-        return x
+        return constrain_spatial(x)
 
 
 class PixelNorm(nn.Module):
@@ -419,7 +424,7 @@ class DBlock(nn.Module):
         t = ELRConv(self.features, 1, dtype=self.dtype)(t)
         x = downsample2x_avg(x)
         t = downsample2x_avg(t)
-        return (x + t) / np.sqrt(2)
+        return constrain_spatial((x + t) / np.sqrt(2))
 
 
 class Discriminator(nn.Module):

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from animeface_tpu.parallel import (
     make_mesh, data_sharding, replicated, shard_batch as _shard_batch,
     replicate as _replicate, prefetch_to_device, model_sharding,
+    activation_sharding, spatial_activation_sharding,
 )
 
 
@@ -84,7 +85,21 @@ class Accelerator:
 
         State is replicated, batch sharded on its leading axis; XLA inserts
         the cross-device gradient psums. State donation reuses buffers.
+
+        On a mesh with a 'spatial' axis the step traces inside an
+        `activation_sharding` context so `parallel.constrain_spatial` seams
+        in the models pin NHWC activations to (data, spatial) — without
+        them G's activations (built up from a replicated latent) never
+        H-shard and sp buys no memory.
         '''
+        act_sharding = spatial_activation_sharding(self.mesh)
+        if act_sharding is not None:
+            inner = fn
+
+            def fn(*a, **k):
+                with activation_sharding(act_sharding):
+                    return inner(*a, **k)
+
         return jax.jit(
             fn,
             donate_argnums=(0,) if donate_state else (),
