@@ -94,6 +94,18 @@ def _default_collate(samples):
     return np.stack(samples, axis=0)
 
 
+def _quantize_images(batch):
+    '''[-1,1] float image batches -> uint8 [0,255] for the wire (the exact
+    inverse of parallel.mesh.dequantize_images). Non-image leaves (labels,
+    vectors) pass through untouched.'''
+    if isinstance(batch, (tuple, list)):
+        return tuple(_quantize_images(b) for b in batch)
+    if batch.ndim == 4 and batch.dtype == np.float32:
+        return np.clip(np.rint((batch + 1.0) * 127.5),
+                       0, 255).astype(np.uint8)
+    return batch
+
+
 class DataLoader:
     '''Minimal epoch-based loader yielding numpy NHWC batches.
 
@@ -106,8 +118,10 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int | None = None,
                  seed: int = 0, shard_count: int | None = None,
-                 shard_index: int = 0, prefetch: int = 4):
+                 shard_index: int = 0, prefetch: int = 4,
+                 transfer_dtype: str = 'float32'):
         assert batch_size >= 1
+        assert transfer_dtype in ('float32', 'uint8'), transfer_dtype
         if shard_count is None:
             # multi-host default: shard epochs across processes and split the
             # GLOBAL --batch-size into per-process slices (shard_batch then
@@ -128,6 +142,7 @@ class DataLoader:
         self.shard_count = shard_count
         self.shard_index = shard_index
         self.prefetch = prefetch
+        self.transfer_dtype = transfer_dtype
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -159,6 +174,18 @@ class DataLoader:
         if batch_fn is None:
             def batch_fn(chunk):
                 return _default_collate([self.dataset[int(i)] for i in chunk])
+
+        if self.transfer_dtype == 'uint8':
+            # Host->device transfer compression: image batches leave the
+            # loader as uint8 [0,255] (4x fewer bytes over PCIe / the axon
+            # tunnel); prefetch_to_device dequantizes back to the [-1,1]
+            # float convention ON DEVICE. Numerically this matches the
+            # reference's own pipeline, which is uint8 until ToTensor
+            # (reference dataset/_base.py:18 Resize->ToTensor->Normalize).
+            inner_fn = batch_fn
+
+            def batch_fn(chunk):
+                return _quantize_images(inner_fn(chunk))
 
         if self.num_workers <= 1:
             for b in range(nb):

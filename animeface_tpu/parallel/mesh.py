@@ -176,16 +176,55 @@ def model_sharding(tree, mesh: Mesh, min_features: int = 256):
     return jax.tree_util.tree_map_with_path(place, tree)
 
 
+_DEQUANT = None
+
+
+def dequantize_images(batch):
+    '''Device-side inverse of the loaders' uint8 transfer encoding: any
+    4-D uint8 leaf is a [0,255] image batch -> float32 in [-1,1] (the
+    framework-wide image convention, dataset/_base.py:6). Leaves of other
+    dtypes/ranks pass through. Jitted once, donates the uint8 buffer.'''
+    global _DEQUANT
+    if _DEQUANT is None:
+        import jax.numpy as jnp
+
+        def deq(x):
+            if x.dtype == jnp.uint8 and x.ndim == 4:
+                return x.astype(jnp.float32) / 127.5 - 1.0
+            return x
+
+        _DEQUANT = jax.jit(lambda b: jax.tree_util.tree_map(deq, b),
+                           donate_argnums=0)
+    return _DEQUANT(batch)
+
+
+def _has_uint8_images(batch) -> bool:
+    import jax.numpy as jnp
+    return any(getattr(x, 'dtype', None) == jnp.uint8
+               and getattr(x, 'ndim', 0) == 4
+               for x in jax.tree_util.tree_leaves(batch))
+
+
 def prefetch_to_device(iterator: Iterable, mesh: Mesh, size: int = 2):
     '''Overlap host->device transfer with compute: keep `size` sharded batches
-    in flight (replacement for DataLoader pin_memory + non-blocking copies).'''
+    in flight (replacement for DataLoader pin_memory + non-blocking copies).
+
+    Batches carrying uint8 image leaves (DataLoader(transfer_dtype='uint8'))
+    are dequantized to the [-1,1] float convention ON DEVICE after the copy,
+    so the host link moves 4x fewer bytes and train steps see the usual
+    float batches.'''
     import collections
     buf = collections.deque()
     it = iter(iterator)
+
+    def put(b):
+        b = shard_batch(b, mesh)
+        return dequantize_images(b) if _has_uint8_images(b) else b
+
     try:
         while True:
             while len(buf) < size:
-                buf.append(shard_batch(next(it), mesh))
+                buf.append(put(next(it)))
             yield buf.popleft()
     except StopIteration:
         while buf:

@@ -54,6 +54,43 @@ def test_prefetch_to_device():
     assert float(out[3][0, 0]) == 3.0
 
 
+def test_uint8_transfer_roundtrip():
+    '''DataLoader(transfer_dtype='uint8') quantizes image batches for the
+    wire; prefetch_to_device dequantizes ON DEVICE back to the exact [-1,1]
+    floats the f32 wire would have delivered (uint8-sourced pixels round-trip
+    bit-exactly), 4x fewer bytes over the host link.'''
+    from animeface_tpu.dataset._base import _quantize_images
+    from animeface_tpu.dataset import DataLoader
+    from animeface_tpu.dataset.synthetic import SyntheticImage
+
+    mesh = make_mesh((-1,))
+    ds = SyntheticImage(16, 32, seed=0)
+    f32 = DataLoader(ds, 8, num_workers=1, seed=1, shard_count=1)
+    u8 = DataLoader(ds, 8, num_workers=1, seed=1, shard_count=1,
+                    transfer_dtype='uint8')
+    b_f32 = next(iter(f32))
+    b_u8 = next(iter(u8))
+    assert b_u8.dtype == np.uint8
+    dev_f32 = next(prefetch_to_device(iter([b_f32]), mesh))
+    dev_u8 = next(prefetch_to_device(iter([b_u8]), mesh))
+    assert dev_u8.dtype == jnp.float32
+    # quantize(x) then device-dequant == quantize round trip of the floats:
+    # uint8-sourced pixels are exact, anything else within 1/255 of a level
+    np.testing.assert_allclose(np.asarray(dev_u8), np.asarray(dev_f32),
+                               atol=1.01 / 255)
+    # the wire inverse really is exact on its own output
+    q = _quantize_images(np.asarray(dev_u8))
+    np.testing.assert_array_equal(q, np.asarray(b_u8))
+
+    # non-image leaves (labels) pass through both directions untouched
+    pair = (b_f32, np.arange(8, dtype=np.float32))
+    qpair = _quantize_images(pair)
+    assert qpair[0].dtype == np.uint8 and qpair[1].dtype == np.float32
+    dev = next(prefetch_to_device(iter([qpair]), mesh))
+    assert dev[0].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(dev[1]), pair[1])
+
+
 def test_accelerator_data_parallel_training():
     '''A jitted SGD step over the 8-device mesh must match single-device math:
     the gradient psum across shards is inserted by XLA.'''

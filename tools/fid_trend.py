@@ -94,7 +94,36 @@ def stylegan2_model(args):
     return template, make_sample
 
 
-MODELS = {'PGGAN': pggan_model, 'StyleGAN2': stylegan2_model}
+def stylegan3_model(args):
+    '''StyleGAN3 backbone (also the ADA recipe, which shares it): the
+    G_<step>.msgpack artifacts carry {'params': G_ema, 'moments'} — the
+    magnitude-EMA input-gain state rides along with the weights.'''
+    import jax
+    import jax.numpy as jnp
+    from animeface_tpu.implementations.StyleGAN3.model import Generator
+
+    G = Generator(image_size=args.image_size, latent_dim=args.latent_dim,
+                  num_layers=args.num_layers,
+                  map_num_layers=args.map_num_layers,
+                  channels=args.channels, max_channels=args.max_channels,
+                  style_dim=args.style_dim)
+    v = G.init({'params': jax.random.PRNGKey(0)},
+               jnp.zeros((1, args.latent_dim)))
+    template = {'params': v['params'], 'moments': v['moments']}
+
+    def make_sample(params, snap_meta):
+        @jax.jit
+        def sample(key):
+            z = jax.random.normal(key, (args.batch_size, args.latent_dim))
+            return G.apply(params, z)
+
+        return sample
+
+    return template, make_sample
+
+
+MODELS = {'PGGAN': pggan_model, 'StyleGAN2': stylegan2_model,
+          'StyleGAN3': stylegan3_model, 'ADA': stylegan3_model}
 
 
 def main():
@@ -113,6 +142,10 @@ def main():
     p.add_argument('--style-dim', type=int, default=512)
     p.add_argument('--channels', type=int, default=32)
     p.add_argument('--max-channels', type=int, default=512)
+    p.add_argument('--num-layers', type=int, default=14,
+                   help='StyleGAN3 synthesis depth')
+    p.add_argument('--map-num-layers', type=int, default=2,
+                   help='StyleGAN3 mapping depth')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args()
