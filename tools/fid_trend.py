@@ -13,6 +13,11 @@ the final snapshot must score strictly better (lower FD) than the first.
     python tools/fid_trend.py --result-dir .../SOAK/result --model StyleGAN2 \
         --image-size 256 --synthetic-data
 
+    # ADA/StyleGAN3 recipes default latent_dim to 512, not this tool's
+    # DCGAN-family default of 100 — pass it explicitly:
+    python tools/fid_trend.py --result-dir .../ADA/result --model ADA \
+        --image-size 128 --synthetic-data --latent-dim 512
+
 PGGAN snapshots are progressive: each `G_<step>.json` sidecar records the
 phase geometry (resolution/depth/mode/alpha) it was saved under; samples
 are drawn at that geometry and bilinearly resized to the gate resolution,
