@@ -93,12 +93,14 @@ def main():
         shutil.copy(trend_json, os.path.join(out, 'trend.json'))
         with open(trend_json) as f:
             trend = json.load(f)
-        scores = [(int(s), float(v)) for s, v in trend['scores'].items()] \
-            if isinstance(trend.get('scores'), dict) else \
-            [(s['step'], s['fd']) for s in trend['scores']]
+        raw = trend.get('scores', trend.get('results'))
+        scores = [(int(s), float(v)) for s, v in raw.items()] \
+            if isinstance(raw, dict) else \
+            [(s['step'], s['fd']) for s in raw]
         scores.sort()
+        gate = trend.get('gate_pass', trend.get('ok', trend.get('gate_ok')))
         trend_line = (f'* in-box FID trend gate (random-VGG FD, final < '
-                      f'first): **{trend.get("gate_pass", trend.get("ok"))} '
+                      f'first): **{gate} '
                       f'({scores[0][1]:.1f} -> {scores[-1][1]:.1f})**\n')
 
     finite = {k: bool(np.isfinite(np.asarray(v, np.float64)).all())
